@@ -1,0 +1,192 @@
+"""Fingerprinting primitives (pure numpy, no Ray).
+
+Generalizes the reference's fingerprint extraction (SURVEY.md section 2.C):
+
+- the reference stores a *polymorphic* fingerprint per post — raw text,
+  a single 64-bit perceptual hash, or a list of per-frame 64-bit hashes
+  (/root/reference/database.py:727-753);
+- this engine computes *typed* fingerprint columns per page:
+  ``content_hash`` (exact key), ``minhash`` (Jaccard sketch, blocking),
+  ``simhash`` (64-bit Hamming-space text fingerprint), ``payload_hash``
+  (64-bit Hamming-space hash of the binary payload — the dhash stand-in,
+  database.py:70-108), ``chunk_hashes`` (per-window payload hashes — the
+  per-frame hash list stand-in, database.py:134-164).
+
+All hashing is seeded by fixed constants → deterministic across processes,
+parallelism levels and runs (PYTHONHASHSEED-independent).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+U64 = np.uint64
+_MASK64 = U64(0xFFFFFFFFFFFFFFFF)
+
+# MinHash configuration: k permutations in b bands of r rows.
+# b=32, r=4 -> P(candidate) = 1-(1-J^4)^32: J=0.68 -> 0.999+, J=0.3 -> 0.23.
+# Chosen for near-perfect recall at the fixture's worst-case Jaccard (~0.68,
+# FIXTURES.md "near repost") — recall is what the F1>=0.99 target lives on.
+NUM_PERMS = 128
+NUM_BANDS = 32
+ROWS_PER_BAND = NUM_PERMS // NUM_BANDS
+SHINGLE_K = 3
+
+_rng = np.random.RandomState(0xC0FFEE)
+# Odd multipliers for multiply-shift universal hashing over uint64 (wraps mod 2^64).
+_PERM_A = (_rng.randint(0, 2**63, size=NUM_PERMS, dtype=np.uint64) << U64(1)) | U64(1)
+_PERM_B = _rng.randint(0, 2**63, size=NUM_PERMS, dtype=np.uint64)
+
+_FOLD_M = U64(0x9E3779B185EBCA87)  # golden-ratio odd constant
+_BAND_SALT = (_rng.randint(0, 2**63, size=NUM_BANDS, dtype=np.uint64) << U64(1)) | U64(1)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit finalizer (public-domain splitmix64 constants)."""
+    x = (x + U64(0x9E3779B97F4A7C15)) & _MASK64
+    x = ((x ^ (x >> U64(30))) * U64(0xBF58476D1CE4E5B9)) & _MASK64
+    x = ((x ^ (x >> U64(27))) * U64(0x94D049BB133111EB)) & _MASK64
+    return x ^ (x >> U64(31))
+
+
+def token_hash(token: str) -> int:
+    """Stable 64-bit hash of one token (blake2b, seed-independent)."""
+    return int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def token_hash_array(tokens: list[str], cache: dict[str, int] | None = None) -> np.ndarray:
+    """uint64 hashes for a token list; optional cross-call cache (tokens repeat
+    heavily across documents — the cache lives in the fingerprint actor)."""
+    if cache is None:
+        return np.fromiter((token_hash(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = cache.get(t)
+        if h is None:
+            h = token_hash(t)
+            cache[t] = h
+        out[i] = h
+    return out
+
+
+def shingle_hashes(tok_h: np.ndarray, k: int = SHINGLE_K) -> np.ndarray:
+    """Hashes of token k-grams, vectorized (one fused multiply-add per lag).
+
+    Documents shorter than k tokens produce a single shingle folding all
+    their tokens, so short docs still fingerprint deterministically.
+    """
+    n = len(tok_h)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        acc = U64(0)
+        for v in tok_h:
+            acc = (acc * _FOLD_M + v) & _MASK64
+        return splitmix64(np.array([acc], dtype=np.uint64))
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _FOLD_M + tok_h[j : j + m]  # uint64 wraparound intended
+    return splitmix64(acc)
+
+
+def minhash_signature(shingles: np.ndarray) -> np.ndarray:
+    """(NUM_PERMS,) uint64 MinHash signature. Empty input -> all-max sentinel."""
+    if len(shingles) == 0:
+        return np.full(NUM_PERMS, _MASK64, dtype=np.uint64)
+    # (n_shingles, NUM_PERMS) multiply-shift; wraparound is the hash family.
+    hv = shingles[:, None] * _PERM_A[None, :] + _PERM_B[None, :]
+    return hv.min(axis=0)
+
+
+def band_keys(signature: np.ndarray) -> np.ndarray:
+    """(NUM_BANDS,) uint64 LSH band keys from one signature: fold each band's
+    r signature values with a per-band salt so identical values in different
+    bands cannot collide."""
+    bands = signature.reshape(NUM_BANDS, ROWS_PER_BAND)
+    acc = _BAND_SALT.copy()
+    for j in range(ROWS_PER_BAND):
+        acc = acc * _FOLD_M + bands[:, j]
+    return splitmix64(acc)
+
+
+def band_keys_batch(signatures: np.ndarray) -> np.ndarray:
+    """(n_docs, NUM_BANDS) band keys for a (n_docs, NUM_PERMS) matrix."""
+    bands = signatures.reshape(len(signatures), NUM_BANDS, ROWS_PER_BAND)
+    acc = np.broadcast_to(_BAND_SALT, (len(signatures), NUM_BANDS)).copy()
+    for j in range(ROWS_PER_BAND):
+        acc = acc * _FOLD_M + bands[:, :, j]
+    return splitmix64(acc)
+
+
+def simhash64(shingles: np.ndarray) -> int:
+    """64-bit SimHash over shingle hashes (unit weights)."""
+    if len(shingles) == 0:
+        return 0
+    bits = (shingles[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1)
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(shingles)
+    return int(np.packbits((votes > 0)[::-1]).view(">u8")[0])
+
+
+def content_hash_hex(data: bytes) -> str:
+    """Exact-match key: sha256 hex (the D2 equality key, database.py:366-388)."""
+    return hashlib.sha256(data).hexdigest()
+
+
+# --- binary payload fingerprints (dhash / per-frame-hash stand-ins) ---------
+
+_PAYLOAD_STRIDE_TARGET = 4096  # max 4-grams sampled per payload
+
+
+def _byte_gram_hashes(data: bytes) -> np.ndarray:
+    """uint64 hashes of byte 4-grams (strided subsample for large payloads)."""
+    if len(data) == 0:
+        return np.empty(0, dtype=np.uint64)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if len(arr) < 4:
+        arr = np.pad(arr, (0, 4 - len(arr)))
+    n = len(arr) - 3
+    stride = max(1, n // _PAYLOAD_STRIDE_TARGET)
+    idx = np.arange(0, n, stride)
+    grams = (
+        arr[idx].astype(np.uint64) << U64(24)
+        | arr[idx + 1].astype(np.uint64) << U64(16)
+        | arr[idx + 2].astype(np.uint64) << U64(8)
+        | arr[idx + 3].astype(np.uint64)
+    )
+    return splitmix64(grams)
+
+
+def payload_hash64(data: bytes) -> int:
+    """64-bit Hamming-space fingerprint of a binary payload: SimHash over
+    byte 4-grams. Drop-in for the reference's 64-bit image dhash
+    (database.py:70-108) given no imaging libs exist here; similar payloads
+    (few changed bytes) land within small Hamming distance."""
+    return simhash64(_byte_gram_hashes(data))
+
+
+def chunk_hashes(data: bytes, window: int = 256) -> np.ndarray:
+    """Per-window 64-bit *perceptual* hashes of a payload — the per-frame
+    dhash list stand-in (database.py:134-164): each fixed window ("frame")
+    gets its own SimHash over byte 4-grams, so a frame with a few changed
+    bytes stays within small Hamming distance of the original frame (the
+    property the reference's F3 min-mean distance relies on)."""
+    if len(data) == 0:
+        return np.empty(0, dtype=np.uint64)
+    nchunks = (len(data) + window - 1) // window
+    out = np.empty(nchunks, dtype=np.uint64)
+    for i in range(nchunks):
+        out[i] = payload_hash64(data[i * window : (i + 1) * window])
+    return out
+
+
+def simhash_band_keys_64(value: int, n_bands: int = 8) -> list[int]:
+    """Split a 64-bit Hamming fingerprint into n equal bit-bands (pigeonhole:
+    two values within Hamming distance < n share at least one identical
+    band). Used as the blocking key for payload modality: threshold 5 < 8
+    bands -> guaranteed candidate recall for every true payload match."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return [(value >> (i * width)) & mask for i in range(n_bands)]

@@ -1,0 +1,76 @@
+"""Text canonicalization + tokenization (pure, no Ray).
+
+The canonicalizer reproduces the reference's whitespace-stripping invariant
+(`canonical(s)` at /root/reference/database.py:45-46 and the inline
+`.replace('\\n','').replace('\\r','').replace(' ','')` at database.py:126):
+remove every character ``c`` for which ``c.isspace()`` is true. This is the
+byte-identity target of the north rule: pipeline output per url must equal
+``canonicalize(extract_text(html))`` exactly, at any batch size/parallelism.
+
+The sentinel predicate reproduces the reference's text-validity check
+(/root/reference/database.py:364, 727).
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+
+# Sentinels the reference treats as "no usable text" (database.py:364, 727).
+TEXT_SENTINELS = frozenset({"", "&#x200B;", "[removed]", "[deleted]"})
+
+
+@functools.lru_cache(maxsize=1)
+def _whitespace_chars() -> str:
+    """Every Unicode codepoint for which str.isspace() is true.
+
+    Computed by full scan once per process (cached); used to build both the
+    str.translate table and the vectorizable regex character class so that
+    all canonicalization paths agree bit-for-bit with ``c.isspace()``.
+    """
+    return "".join(c for c in map(chr, range(sys.maxunicode + 1)) if c.isspace())
+
+
+@functools.lru_cache(maxsize=1)
+def _ws_translate_table() -> dict[int, None]:
+    return {ord(c): None for c in _whitespace_chars()}
+
+
+def canonicalize(s: str) -> str:
+    """Remove every isspace() character. C-speed via str.translate."""
+    return s.translate(_ws_translate_table())
+
+
+def canonicalize_oracle(s: str) -> str:
+    """Byte-identity oracle: the literal per-char definition, used only in
+    tests to pin down `canonicalize` (FIXTURES.md section 3)."""
+    return "".join(c for c in s if not c.isspace())
+
+
+def is_valid_text(s: str | None) -> bool:
+    """B2 predicate (database.py:364): usable self-text?"""
+    return s is not None and s not in TEXT_SENTINELS
+
+
+def tokenize(s: str) -> list[str]:
+    """Whitespace tokenization, lowercased — the shingling alphabet.
+
+    Runs BEFORE canonicalization (canonical text has no separators left).
+    """
+    return s.lower().split()
+
+
+def normalize_url(url: str) -> str:
+    """B6 (database.py:467-481): strip the youtube share suffix; generalized
+    with fragment strip + lowercased scheme/host."""
+    url = url.replace("&feature=youtu.be", "")
+    frag = url.find("#")
+    if frag >= 0:
+        url = url[:frag]
+    scheme_end = url.find("://")
+    if scheme_end > 0:
+        host_end = url.find("/", scheme_end + 3)
+        if host_end < 0:
+            host_end = len(url)
+        url = url[:host_end].lower() + url[host_end:]
+    return url
