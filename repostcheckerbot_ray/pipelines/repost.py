@@ -1,0 +1,433 @@
+"""Flagship pipeline — repost/duplicate detection over web pages.
+
+End-to-end dataflow (SURVEY.md §3 "Engine lifecycle"):
+
+    read_parquet(pages)
+      → [TTL admission filter B9]                         (map, no shuffle)
+      → [FingerprintBatcher actor pool C1-C4/B1-B7]       (map, html dropped)
+      → [per-part D1 url-dedup + checkpoint write]        (shuffle #1: part)
+      → exact star edges D2/F4                            (shuffle #2: content_hash)
+      → text band explode → candidate gen → verify D3/F1  (shuffle #3: band_key)
+      → payload / chunked band scoring F2/F3              (same shuffle family)
+      → edge dedup D4                                     (shuffle #4: pair — edges only)
+      → union-find transitive closure E4                  (driver; edges ≪ corpus)
+      → clusters + edges + metrics + report write_parquet
+
+Partitioning: ONE part key per stage family, always derivable *before* the
+stage's compute (hash64(url) % P for fingerprints, hash64(stage key) % P for
+edge stages), so a resumed run filters each stage's input down to
+incomplete partitions and skips both compute and write for finished ones
+(state/checkpoint.py). A config change invalidates checkpoints via the
+config hash.
+
+Skew: hot exact-dup groups emit O(n) star edges (blocking.exact_star_edges);
+fuzzy bands collapse identical content to one representative and cap
+oversized blocks deterministically with a metric row (scoring_stage).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import asdict, dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.fingerprint import token_hash
+from ..stages.blocking import (
+    explode_chunk_bands,
+    explode_payload_bands,
+    explode_text_bands,
+)
+from ..stages.clustering import assign_clusters
+from ..stages.fingerprint_stage import FINGERPRINT_SCHEMA, FingerprintBatcher
+from ..stages.scoring_stage import (
+    dedup_edges,
+    make_chunk_scorer,
+    make_payload_scorer,
+    make_text_candidate_scorer,
+    make_text_pair_verifier,
+)
+from ..state.checkpoint import StageCheckpoint, config_hash
+
+EDGES_SCHEMA = pa.schema(
+    [
+        ("url_a", pa.string()),
+        ("url_b", pa.string()),
+        ("score", pa.float64()),
+        ("kind", pa.string()),
+    ]
+)
+
+
+@dataclass
+class RepostConfig:
+    """≙ the reference's sub_settings tuple (/root/reference/config.py:9-19),
+    typed. threshold ≙ sub_settings[7]; ttl ≙ sub_settings[1..3]."""
+
+    threshold: float = 5.0
+    num_parts: int = 16
+    max_block: int = 256
+    ttl_cutoff_us: int | None = None  # admission TTL as absolute cutoff (B9)
+    batch_size: int = 512
+    # None -> auto-size to the Ray cluster, leaving headroom for the
+    # shuffle/write tasks that run concurrently (an actor pool that reserves
+    # every CPU starves the downstream Sort and the pipeline stalls)
+    fingerprint_concurrency: tuple | int | None = None
+    checkpoint: bool = True
+    extra: dict = field(default_factory=dict)
+
+    def hash(self) -> str:
+        return config_hash(asdict(self))
+
+
+class _Metrics:
+    """Per-stage counters → one metrics Parquet (A9 generalization)."""
+
+    def __init__(self) -> None:
+        self.rows: list[tuple[str, str, int]] = []
+
+    def add(self, stage: str, name: str, value: int) -> None:
+        self.rows.append((stage, name, int(value)))
+
+    def table(self) -> pa.Table:
+        return pa.table(
+            {
+                "stage": pa.array([r[0] for r in self.rows], pa.string()),
+                "counter": pa.array([r[1] for r in self.rows], pa.string()),
+                "value": pa.array([r[2] for r in self.rows], pa.int64()),
+            }
+        )
+
+
+def _part_of_key(key: str, num_parts: int) -> int:
+    return token_hash(key) % num_parts
+
+
+def _checkpointed_stage(ds_builder, input_filter, ckpt: StageCheckpoint,
+                        schema: pa.Schema, metrics: _Metrics):  # noqa: ANN001
+    """Generic resume wrapper.
+
+    ``input_filter(done_parts)`` narrows the stage input to incomplete
+    partitions; ``ds_builder(filtered_input)`` computes the stage output
+    WITH a ``part`` column; output groups are written atomically per part.
+    Returns the stage output re-read from the checkpoint (all parts).
+    """
+    import ray.data as rd
+
+    done = ckpt.completed_parts()
+    metrics.add(ckpt.stage, "parts_resumed", len(done))
+    if len(done) < ckpt.num_parts:
+        out = ds_builder(input_filter(done))
+        writer = ckpt.make_group_writer(schema)
+        # ensure every incomplete part commits a (possibly empty) file so
+        # resume state is unambiguous
+        written = set(
+            r["part"]
+            for r in out.groupby("part").map_groups(writer, batch_format="pyarrow").take_all()
+        )
+        empty_parts = [p for p in range(ckpt.num_parts) if p not in done and p not in written]
+        for p in empty_parts:
+            ckpt.write_part(p, schema.empty_table())
+    files = [ckpt.data_path(p) for p in sorted(ckpt.completed_parts())
+             if os.path.getsize(ckpt.data_path(p)) > 0]
+    nonempty = [f for f in files if pq.read_metadata(f).num_rows > 0]
+    if not nonempty:
+        return rd.from_arrow(schema.empty_table())
+    return rd.read_parquet(nonempty)
+
+
+def _add_part_from(col: str, num_parts: int):
+    def add(batch: pa.Table) -> pa.Table:
+        parts = [_part_of_key(v, num_parts) for v in
+                 (str(x) for x in batch[col].to_pylist())]
+        if "part" in batch.column_names:
+            batch = batch.drop_columns(["part"])
+        return batch.append_column("part", pa.array(parts, pa.int32()))
+
+    return add
+
+
+def _drop_parts_filter(col: str, num_parts: int, done: set[int]):
+    """Vectorized-enough pre-filter: skip rows whose stage partition is
+    already checkpointed (the compute-skip half of resume)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        if not done:
+            return batch
+        keep = [_part_of_key(str(v), num_parts) not in done
+                for v in batch[col].to_pylist()]
+        return batch.filter(pa.array(keep))
+
+    return f
+
+
+def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = None,
+                        write_outputs: bool = True) -> dict:  # noqa: ANN001
+    """Run the flagship pipeline; returns dict with fingerprints / edges /
+    clusters Datasets and the metrics table. Ray must already be initialized
+    (driver contract) or auto-inits locally."""
+    import ray
+    import ray.data as rd
+
+    cfg = cfg or RepostConfig()
+    h = cfg.hash()
+    metrics = _Metrics()
+    os.makedirs(out_dir, exist_ok=True)
+
+    pages = pages_path if hasattr(pages_path, "map_batches") else rd.read_parquet(pages_path)
+
+    # --- TTL admission filter (B9, database.py:312-323) ---------------------
+    if cfg.ttl_cutoff_us is not None:
+        cutoff = pa.scalar(cfg.ttl_cutoff_us, pa.timestamp("us"))
+        pages = pages.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["warc_ts"], cutoff)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    # --- Stage 1: fingerprints (+ per-part D1 url dedup) --------------------
+    fp_ckpt = StageCheckpoint(out_dir, "fingerprints", h, cfg.num_parts)
+
+    def fp_input_filter(done: set[int]):
+        return pages.map_batches(
+            _drop_parts_filter("url", cfg.num_parts, done),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    fp_concurrency = cfg.fingerprint_concurrency
+    if fp_concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        fp_concurrency = max(1, cpus - max(2, cpus // 4))
+
+    def fp_builder(src):  # noqa: ANN001
+        return src.map_batches(
+            FingerprintBatcher,
+            fn_constructor_kwargs={"num_parts": cfg.num_parts},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.batch_size,
+            concurrency=fp_concurrency,
+        )
+
+    # url → part, so D1 dedup is partition-local: fold it into the part write
+    fp_schema = FINGERPRINT_SCHEMA
+
+    class _FpCheckpoint(StageCheckpoint):
+        def make_group_writer(self, schema: pa.Schema):  # noqa: ANN001
+            base = super().make_group_writer(schema)
+
+            def write_group(group: pa.Table) -> pa.Table:
+                # D1 within part: keep min-(warc_ts, content_hash) row per url
+                g = group.sort_by([("url", "ascending"), ("warc_ts", "ascending"),
+                                   ("content_hash", "ascending")])
+                urls = g["url"].to_pylist()
+                keep = [i for i, u in enumerate(urls) if i == 0 or u != urls[i - 1]]
+                return base(g.take(pa.array(keep)))
+
+            return write_group
+
+    fp_ckpt.__class__ = _FpCheckpoint
+    fingerprints = _checkpointed_stage(fp_builder, fp_input_filter, fp_ckpt,
+                                       fp_schema, metrics)
+    fp_ckpt.write_lineage(out_dir, {"input": str(pages_path)})
+
+    # --- Stage 2a: exact edges (D2/F4) --------------------------------------
+    ex_ckpt = StageCheckpoint(out_dir, "edges_exact", h, cfg.num_parts)
+    edges_schema = EDGES_SCHEMA.append(pa.field("part", pa.int32()))
+
+    def ex_filter(done: set[int]):
+        return fingerprints.map_batches(
+            _drop_parts_filter("content_hash", cfg.num_parts, done),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    def ex_builder(src):  # noqa: ANN001
+        def star(group: pa.Table) -> pa.Table:
+            n = group.num_rows
+            part = _part_of_key(group["content_hash"][0].as_py(), cfg.num_parts)
+            if n < 2:
+                return edges_schema.empty_table()
+            urls = sorted(group["url"].to_pylist())
+            hub = urls[0]
+            return pa.table(
+                {
+                    "url_a": pa.array([hub] * (n - 1)),
+                    "url_b": pa.array(urls[1:]),
+                    "score": pa.array([100.0] * (n - 1), pa.float64()),
+                    "kind": pa.array(["exact"] * (n - 1)),
+                    "part": pa.array([part] * (n - 1), pa.int32()),
+                },
+                schema=edges_schema,
+            )
+
+        return src.groupby("content_hash").map_groups(star, batch_format="pyarrow")
+
+    exact_edges = _checkpointed_stage(ex_builder, ex_filter, ex_ckpt,
+                                      edges_schema, metrics)
+    ex_ckpt.write_lineage(out_dir, {})
+
+    # --- Stage 2b: text fuzzy edges (D3/F1) ---------------------------------
+    tx_ckpt = StageCheckpoint(out_dir, "edges_text", h, cfg.num_parts)
+
+    def tx_filter(done: set[int]):
+        band_rows = explode_text_bands(fingerprints)
+        return band_rows.map_batches(
+            _drop_parts_filter("band_key", cfg.num_parts, done),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    def tx_builder(band_rows):  # noqa: ANN001
+        scorer = make_text_candidate_scorer(cfg.threshold, cfg.max_block)
+
+        def score_with_part(group: pa.Table) -> pa.Table:
+            part = _part_of_key(str(group["band_key"][0].as_py()), cfg.num_parts)
+            out = scorer(group)
+            return out.append_column("part", pa.array([part] * out.num_rows, pa.int32()))
+
+        cands = band_rows.groupby("band_key").map_groups(score_with_part,
+                                                         batch_format="pyarrow")
+        # stream candidates to the driver ONCE, splitting cap sentinels and
+        # deduping pairs (each true pair surfaces in up to NUM_BANDS bands;
+        # deterministic min-part keeps resume placement stable). Candidates
+        # ≪ corpus by construction — same assumption as the text broadcast.
+        pair_part: dict[tuple[str, str], int] = {}
+        capped = 0
+        for b in cands.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for a, bb, p in zip(b["url_a"].to_pylist(), b["url_b"].to_pylist(),
+                                b["part"].to_pylist()):
+                if a == "_capped_block":
+                    capped += int(bb)
+                    continue
+                k = (a, bb)
+                cur = pair_part.get(k)
+                if cur is None or p < cur:
+                    pair_part[k] = p
+        metrics.add("edges_text", "capped_candidates_dropped", capped)
+        metrics.add("edges_text", "candidate_pairs", len(pair_part))
+        if not pair_part:
+            import ray.data as rd
+            return rd.from_arrow(edges_schema.empty_table())
+        keys = sorted(pair_part)
+        pairs_tbl = pa.table(
+            {
+                "url_a": pa.array([k[0] for k in keys], pa.string()),
+                "url_b": pa.array([k[1] for k in keys], pa.string()),
+                "part": pa.array([pair_part[k] for k in keys], pa.int32()),
+            }
+        )
+
+        # broadcast texts for candidate urls only (semi-join + ray.put;
+        # candidates ≪ corpus — see scoring_stage docstring)
+        cand_urls = frozenset(pairs_tbl["url_a"].to_pylist()) | frozenset(
+            pairs_tbl["url_b"].to_pylist()
+        )
+        metrics.add("edges_text", "candidate_urls", len(cand_urls))
+        texts = _collect_texts(fingerprints, cand_urls)
+        texts_ref = ray.put(texts)
+
+        import ray.data as rd
+        pairs_ds = rd.from_arrow(pairs_tbl)
+        verified = pairs_ds.map_batches(
+            make_text_pair_verifier(texts_ref, cfg.threshold),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        # verifier drops 'part'; re-derive it from the pair key map
+        part_ref = ray.put(pair_part)
+
+        def add_part(batch: pa.Table) -> pa.Table:
+            m = ray.get(part_ref)
+            parts = [m[(a, b)] for a, b in
+                     zip(batch["url_a"].to_pylist(), batch["url_b"].to_pylist())]
+            return batch.append_column("part", pa.array(parts, pa.int32()))
+
+        return verified.map_batches(add_part, batch_format="pyarrow")
+
+    text_edges = _checkpointed_stage(tx_builder, tx_filter, tx_ckpt,
+                                     edges_schema, metrics)
+    tx_ckpt.write_lineage(out_dir, {})
+
+    # --- Stage 2c/2d: payload + chunked fuzzy edges (F2/F3) -----------------
+    def banded_edge_stage(name: str, explode_fn, scorer_fn):  # noqa: ANN001
+        ck = StageCheckpoint(out_dir, name, h, cfg.num_parts)
+
+        def in_filter(done: set[int]):
+            rows = explode_fn(fingerprints)
+            return rows.map_batches(
+                _drop_parts_filter("band_key", cfg.num_parts, done),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+
+        def builder(rows):  # noqa: ANN001
+            def score_with_part(group: pa.Table) -> pa.Table:
+                part = _part_of_key(str(group["band_key"][0].as_py()), cfg.num_parts)
+                out = scorer_fn(group)
+                return out.append_column("part",
+                                         pa.array([part] * out.num_rows, pa.int32()))
+
+            return rows.groupby("band_key").map_groups(score_with_part,
+                                                       batch_format="pyarrow")
+
+        out = _checkpointed_stage(builder, in_filter, ck, edges_schema, metrics)
+        ck.write_lineage(out_dir, {})
+        return out
+
+    payload_edges = banded_edge_stage("edges_payload", explode_payload_bands,
+                                      make_payload_scorer(cfg.threshold))
+    chunk_edges = banded_edge_stage("edges_chunked", explode_chunk_bands,
+                                    make_chunk_scorer(cfg.threshold))
+
+    # --- Stage 3: union + edge dedup (D4) -----------------------------------
+    all_edges = exact_edges.union(text_edges).union(payload_edges).union(chunk_edges)
+    all_edges = all_edges.select_columns(["url_a", "url_b", "score", "kind"])
+    edges = dedup_edges(all_edges)
+
+    # --- Stage 4: clusters (E4) ---------------------------------------------
+    import ray.data as rd
+
+    if write_outputs:
+        # write once, hand back the on-disk dataset — consumers re-read
+        # Parquet instead of re-running the dedup/assign DAG
+        edges_dir = os.path.join(out_dir, "edges")
+        edges.write_parquet(edges_dir)
+        edges = rd.read_parquet(edges_dir)
+        clusters = assign_clusters(fingerprints, edges)
+        clusters_dir = os.path.join(out_dir, "clusters")
+        clusters.write_parquet(clusters_dir)
+        clusters = rd.read_parquet(clusters_dir)
+        pq.write_table(metrics.table(), os.path.join(out_dir, "metrics.parquet"))
+    else:
+        clusters = assign_clusters(fingerprints, edges)
+
+    return {
+        "fingerprints": fingerprints,
+        "edges": edges,
+        "clusters": clusters,
+        "metrics": metrics,
+    }
+
+
+def _collect_texts(fingerprints, urls: frozenset) -> dict:  # noqa: ANN001
+    """Semi-join: pull text_norm for the candidate url set only (broadcast
+    set filter inside map_batches; driver receives O(candidates) rows)."""
+    import ray
+
+    ref = ray.put(urls)
+
+    class F:
+        def __init__(self, r) -> None:  # noqa: ANN001
+            self._u = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.array([u in self._u for u in batch["url"].to_pylist()])
+            return batch.select(["url", "text_norm"]).filter(mask)
+
+    small = fingerprints.map_batches(F, fn_constructor_args=(ref,),
+                                     batch_format="pyarrow", zero_copy_batch=True,
+                                     concurrency=2)
+    out: dict[str, str] = {}
+    for b in small.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for u, t in zip(b["url"].to_pylist(), b["text_norm"].to_pylist()):
+            out[u] = t
+    return out

@@ -1,0 +1,132 @@
+"""Stage 4 — transitive closure into repost clusters (SURVEY.md §2.E4).
+
+The reference links every new post to all earlier matches
+(/root/reference/app.py:179-206); batch-equivalent = connected components
+over the edge set. Edges are a tiny fraction of the corpus (post-blocking,
+post-threshold), so components run driver-side with path-compressed
+union-find — the one deliberately centralized piece (SURVEY.md §3). The
+distributed fallback when even edges outgrow one node is
+``state.union_find.label_propagation_components`` (min-label propagation
+over groupby shuffles of the edge relation only).
+
+Cluster ids are the lexicographic min url of each component → fully
+deterministic, independent of parallelism and edge arrival order. The
+"original" of a cluster is its min-``warc_ts`` member (same orientation as
+the reference reporting the stored post as the original, app.py:186-194).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..state.union_find import components_from_edges
+
+CLUSTERS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("cluster_id", pa.string()),
+        ("cluster_size", pa.int64()),
+        ("is_original", pa.bool_()),
+        ("warc_ts", pa.timestamp("us")),
+    ]
+)
+
+
+def collect_components(edges_ds) -> dict:  # noqa: ANN001
+    """Stream edge batches to the driver, union-find, return url->cluster_id.
+    Edges ≪ corpus by construction; streamed, never materialized as a
+    Dataset copy."""
+    pairs = []
+    for batch in edges_ds.select_columns(["url_a", "url_b"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        pairs.extend(zip(batch["url_a"].to_pylist(), batch["url_b"].to_pylist()))
+    return components_from_edges(pairs)
+
+
+def make_cluster_assigner(comp_ref, meta_ref):  # noqa: ANN001
+    """Broadcast cluster map (ray.put once, fetched from the local object
+    store per batch) applied as a stateless task; rows not in any edge
+    become singleton clusters (cluster_id = own url)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray
+
+        comp: dict[str, str] = ray.get(comp_ref)
+        meta_map: dict[str, tuple[int, int]] = ray.get(meta_ref)
+        urls = batch["url"].to_pylist()
+        ts = batch["warc_ts"].cast(pa.int64()).to_pylist()
+        cids, sizes, is_orig = [], [], []
+        for u, t in zip(urls, ts):
+            cid = comp.get(u, u)
+            meta = meta_map.get(cid)
+            cids.append(cid)
+            if meta is None:
+                sizes.append(1)
+                is_orig.append(True)
+            else:
+                sizes.append(meta[1])
+                is_orig.append(t == meta[0])
+        return pa.table(
+            {
+                "url": batch["url"],
+                "cluster_id": pa.array(cids, pa.string()),
+                "cluster_size": pa.array(sizes, pa.int64()),
+                "is_original": pa.array(is_orig, pa.bool_()),
+                "warc_ts": batch["warc_ts"],
+            },
+            schema=CLUSTERS_SCHEMA,
+        )
+
+    return assign
+
+
+def cluster_meta(fingerprints_ds, comp: dict) -> dict:  # noqa: ANN001
+    """cluster_id -> (min warc_ts, member count).
+
+    Only urls that appear in some edge are in ``comp`` (everything else is a
+    singleton with default meta), so the corpus is filtered to cluster
+    members *inside* ``map_batches`` (broadcast membership set) before
+    anything reaches the driver — driver traffic is O(cluster members), not
+    O(corpus)."""
+    import ray
+
+    members_ref = ray.put(frozenset(comp))
+
+    def member_filter(batch: pa.Table) -> pa.Table:
+        members = ray.get(members_ref)
+        mask = pa.array([u in members for u in batch["url"].to_pylist()])
+        return batch.select(["url", "warc_ts"]).filter(mask)
+
+    small = fingerprints_ds.map_batches(
+        member_filter, batch_format="pyarrow", zero_copy_batch=True,
+    )
+    meta: dict[str, list] = {}
+    for batch in small.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ts = batch["warc_ts"].cast(pa.int64()).to_pylist()
+        for u, t in zip(batch["url"].to_pylist(), ts):
+            cid = comp.get(u, u)
+            cur = meta.get(cid)
+            if cur is None:
+                meta[cid] = [t, 1]
+            else:
+                if t < cur[0]:
+                    cur[0] = t
+                cur[1] += 1
+    return {k: (v[0], v[1]) for k, v in meta.items()}
+
+
+def assign_clusters(fingerprints_ds, edges_ds):  # noqa: ANN001
+    """fingerprints + edges -> clusters Dataset (url, cluster_id, size,
+    is_original, warc_ts)."""
+    import ray
+
+    comp = collect_components(edges_ds)
+    meta = cluster_meta(fingerprints_ds, comp)
+    comp_ref = ray.put(comp)
+    meta_ref = ray.put(meta)
+    return fingerprints_ds.map_batches(
+        make_cluster_assigner(comp_ref, meta_ref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
