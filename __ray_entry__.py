@@ -1,44 +1,203 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+`entry()` runs the flagship repost pipeline; `queries()` exposes one entry
+per implemented operator family from SURVEY.md §2 (+ the training-data ops);
+`oracle_sql()` gives the DuckDB-equivalent SQL for every relationally
+expressible query. Non-SQL-expressible ops (LSH internals, heuristic
+scoring, approximate ANN, the flagship pipeline itself) are rows-only by
+design and noted as such.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
+from repostcheckerbot_ray.pipelines import corpus_ops, embedding_ops
+
+_Q_IDS = "0, 1, 2, 3"
+_SHIFT = corpus_ops.COPY_SHIFT
+
+
+def _corpus_dir(tag: str) -> str:
+    """Deterministic synthetic pages corpus (FIXTURES.md) cached under /tmp —
+    the input-hint-shaped table for flagship/multimodal queries."""
+    from repostcheckerbot_ray.fixtures import write_fixture
+
+    d = f"/tmp/rcb_corpus_{tag}"
+    marker = os.path.join(d, "pages", "part-00000.parquet")
+    if not os.path.exists(marker):
+        write_fixture(d)
+    return d
+
+
+def _flagship(sf_dir: str) -> dict:
+    from repostcheckerbot_ray.pipelines.repost import RepostConfig, run_repost_pipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    d = _corpus_dir(tag)
+    return run_repost_pipeline(f"{d}/pages", f"/tmp/rcb_out_{tag}", RepostConfig())
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline over sf0.001 `documents` adapted to the pages
+    schema (url/warc_ts/html/text/lang) — returns the clusters Dataset."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from repostcheckerbot_ray.pipelines.repost import RepostConfig, run_repost_pipeline
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        urls = pc.binary_join_element_wise(
+            pa.array(["doc://"] * batch.num_rows), pc.cast(ids, pa.string()), ""
+        )
+        base = 1_704_067_200_000_000
+        ts = pc.add(pc.multiply(pc.cast(ids, pa.int64()), 60_000_000), base)
+        return pa.table(
+            {
+                "url": urls,
+                "warc_ts": pc.cast(ts, pa.timestamp("us")),
+                "html": pa.array([b""] * batch.num_rows, pa.binary()),
+                "text": batch["text"],
+                "lang": batch["lang"],
+            }
+        )
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
+    res = run_repost_pipeline(pages, "/tmp/rcb_entry_out", RepostConfig(),
+                              write_outputs=False)
+    return res["clusters"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {
+        # relational ops (SQL-oracled)
+        "exact_dedup_by_key": corpus_ops.exact_dedup_by_key,      # D1/E3
+        "exact_dedup_text": corpus_ops.exact_dedup_text,          # E3+E7
+        "lang_counts": corpus_ops.lang_counts,                    # E1
+        "source_doc_stats": corpus_ops.source_doc_stats,          # partial-agg
+        "top_k_longest": corpus_ops.top_k_longest,                # E6
+        "token_counts": corpus_ops.token_counts,                  # text analysis
+        "char_counts": corpus_ops.char_counts,
+        "ttl_filter_events": corpus_ops.ttl_filter_events,        # B9/E5
+        "event_window_counts": corpus_ops.event_window_counts,    # windowed agg
+        # dedup family (cluster outputs SQL-predictable via exact-copy union)
+        "minhash_dedup_clusters": corpus_ops.minhash_dedup_clusters,  # E4/D3
+        "simhash_dedup_clusters": corpus_ops.simhash_dedup_clusters,
+        # similarity search
+        "knn_cosine": lambda sf: embedding_ops.knn_brute_force(sf),
+        "embedding_dup_pairs": lambda sf: embedding_ops.embedding_dup_pairs(sf),
+        # rows-only (non-SQL-expressible: heuristic / approximate / pipeline)
+        "text_analysis": corpus_ops.text_analysis,
+        "ngram_jaccard_pairs": lambda sf: corpus_ops.ngram_jaccard_pairs(sf),
+        "knn_ivf": lambda sf: embedding_ops.knn_ivf(sf),
+        "repost_clusters": lambda sf: _flagship(sf)["clusters"],
+        "repost_edges": lambda sf: _flagship(sf)["edges"],
+        "media_features": _media_features,
+    }
+    return q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _media_features(sf_dir: str) -> Any:
+    import ray.data as rd
+
+    from repostcheckerbot_ray.stages.multimodal import media_features
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    pages = rd.read_parquet(f"{_corpus_dir(tag)}/pages", columns=["url", "html"])
+    return media_features(pages)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_by_key": (
+            "SELECT source, lang, CAST(MIN(doc_id) AS BIGINT) AS doc_id "
+            "FROM documents GROUP BY source, lang"
+        ),
+        "exact_dedup_text": (
+            f"WITH all_docs AS (SELECT doc_id, text FROM documents "
+            f"UNION ALL SELECT doc_id + {_SHIFT}, text FROM documents) "
+            "SELECT text, CAST(MIN(doc_id) AS BIGINT) AS doc_id "
+            "FROM all_docs GROUP BY text"
+        ),
+        "lang_counts": "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang",
+        "source_doc_stats": (
+            "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source"
+        ),
+        "top_k_longest": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 20"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE array_length(string_split_regex(trim(text), '\\s+')) END::BIGINT "
+            "AS n_tokens FROM documents"
+        ),
+        "char_counts": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents"
+        ),
+        "ttl_filter_events": (
+            f"SELECT event_id, ts FROM events WHERE ts >= TIMESTAMP '{corpus_ops.TTL_CUTOFF}'"
+        ),
+        "event_window_counts": (
+            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type, day"
+        ),
+        # the blocked near-dup scan vs the reference-style O(n²) full scan:
+        # DuckDB brute-forces token-trigram Jaccard over ALL pairs; the Ray
+        # side is LSH-blocked + exact verification. Equality proves zero
+        # recall loss from blocking at this threshold. Thresholding is pure
+        # integer-set arithmetic on both sides (no float tolerance needed).
+        "ngram_jaccard_pairs": (
+            "WITH toks AS ("
+            "  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,"
+            "         generate_subscripts(string_split(lower(text), ' '), 1) AS pos"
+            "  FROM documents),"
+            "tri AS ("
+            "  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh"
+            "  FROM toks a"
+            "  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1"
+            "  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),"
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),"
+            "inter AS ("
+            "  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i"
+            "  FROM tri x JOIN tri y ON x.sh = y.sh AND x.doc_id < y.doc_id"
+            "  GROUP BY x.doc_id, y.doc_id) "
+            "SELECT id_a, id_b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8"
+        ),
+        "knn_cosine": (
+            "SELECT query_id, neighbor_id FROM ("
+            "  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,"
+            "         row_number() OVER (PARTITION BY q.vec_id"
+            "           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,"
+            "                    e.vec_id ASC) AS rn"
+            f"  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id"
+            f"  WHERE q.vec_id IN ({_Q_IDS})"
+            ") WHERE rn <= 10"
+        ),
+        "embedding_dup_pairs": (
+            f"WITH all_vecs AS (SELECT vec_id, label, embedding FROM embeddings "
+            f"UNION ALL SELECT vec_id + {_SHIFT}, label, embedding FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM all_vecs a JOIN all_vecs b ON a.label = b.label AND a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.99"
+        ),
+        # text_analysis / minhash_dedup_clusters / simhash_dedup_clusters /
+        # knn_ivf / repost_* / media_features: intentionally omitted
+        # (heuristic, transitive-closure, approximate, or full-pipeline
+        # outputs) -> rows-only check. Cluster outputs are pinned by pytest
+        # against the transitive closure of the SQL-verified pair set.
+    }

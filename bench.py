@@ -1,0 +1,150 @@
+"""Benchmark runner (driver contract).
+
+Default mode: `ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)`, run the headline
+pipelines over `$GRAFT_SF_DIR` (default /root/testdata/sf0.1) plus the
+flagship repost pipeline over a deterministic synthetic web-page corpus
+(BENCH_SCALE units of ~3.9k pages, cached under /tmp), and print ONE JSON
+line: {"metric", "value", "unit", "queries", "sf", "num_cpus", ...}.
+
+`--scaling` mode: run the same headline job in two FRESH processes at
+num_cpus=8 and num_cpus=32 on the same (pre-generated, page-cache-warmed)
+input and print both throughputs + the N→4N scaling efficiency
+(BASELINE.json north_rule's two-cluster-size criterion, sandbox stand-in).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_SCALE = int(os.environ.get("RCB_BENCH_SCALE", "8"))
+
+
+def _bench_corpus() -> str:
+    """Deterministic synthetic pages corpus, generated once and cached."""
+    from repostcheckerbot_ray.fixtures import bench_spec, write_fixture
+
+    d = f"/tmp/rcb_bench_corpus_s{BENCH_SCALE}"
+    marker = os.path.join(d, "pages", "part-00000.parquet")
+    if not os.path.exists(marker):
+        write_fixture(d, bench_spec(scale=BENCH_SCALE), shards=32)
+    return d
+
+
+def _warm(path: str) -> int:
+    """Touch every byte once so timings measure compute, not cold reads.
+    Returns corpus row count."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.read_table(os.path.join(root, f)).num_rows
+    return total
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from repostcheckerbot_ray.pipelines import corpus_ops, embedding_ops
+    from repostcheckerbot_ray.pipelines.repost import RepostConfig, run_repost_pipeline
+
+    corpus = _bench_corpus()
+    n_docs = _warm(os.path.join(corpus, "pages"))
+    _warm(SF_DIR)
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn):  # noqa: ANN001
+        t0 = time.perf_counter()
+        out = fn()
+        # consume Datasets fully (count() is a full execution of the DAG)
+        if hasattr(out, "count"):
+            out.count()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    # headline: flagship repost pipeline, fresh checkpoint dir every run
+    import shutil
+
+    out_dir = f"/tmp/rcb_bench_out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_repost_pipeline(
+        os.path.join(corpus, "pages"), out_dir,
+        RepostConfig(num_parts=32, batch_size=256),
+    )
+    headline = time.perf_counter() - t0
+    queries["repost_pipeline"] = round(headline, 3)
+
+    # secondary pipelines over the sf tables
+    timed("minhash_dedup", lambda: corpus_ops.minhash_dedup_clusters(SF_DIR))
+    timed("simhash_dedup", lambda: corpus_ops.simhash_dedup_clusters(SF_DIR))
+    timed("exact_dedup_text", lambda: corpus_ops.exact_dedup_text(SF_DIR))
+    timed("token_counts", lambda: corpus_ops.token_counts(SF_DIR))
+    timed("text_analysis", lambda: corpus_ops.text_analysis(SF_DIR))
+    timed("event_window_counts", lambda: corpus_ops.event_window_counts(SF_DIR))
+    timed("knn_cosine", lambda: embedding_ops.knn_brute_force(SF_DIR))
+    timed("embedding_dup_pairs", lambda: embedding_ops.embedding_dup_pairs(SF_DIR))
+
+    result = {
+        "metric": "repost_pipeline_e2e_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "corpus_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, two fresh processes at 8 and 32 CPUs (N vs 4N stand-in)."""
+    # pre-generate + warm once so both runs see a hot cache
+    _bench_corpus()
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RCB_BENCH_SCALE=str(BENCH_SCALE))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tput_lo = lo["docs_per_sec"]
+    tput_hi = hi["docs_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "docs_per_sec_8": tput_lo,
+        "docs_per_sec_32": tput_hi,
+        "corpus_docs": hi["corpus_docs"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

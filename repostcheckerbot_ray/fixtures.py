@@ -59,6 +59,11 @@ class FixtureSpec:
     n_url_dups: int = 4             # extra rows duplicating an existing url
     n_url_fallback: int = 6         # no text, no payload url -> url modality
     langs: tuple = ("en", "de", "fr", "es")
+    # fast=True skips the per-edit SequenceMatcher verification during
+    # generation (bench-scale corpora; 1-3 substitutions of a 50-300 token
+    # doc are provably within the ratio threshold anyway) and emits no
+    # within-family labeled pairs for the O(n²) hot family.
+    fast: bool = False
 
 
 @dataclass
@@ -90,23 +95,24 @@ def _whitespace_jitter(rng: random.Random, text: str) -> str:
     return "".join(t + s for t, s in zip(toks, seps)) + toks[-1]
 
 
-def _near_edit(rng: random.Random, vocab: list[str], text: str) -> str:
+def _near_edit(rng: random.Random, vocab: list[str], text: str, fast: bool = False) -> str:
     """1-3 token substitutions; retried until SequenceMatcher ratio on the
     canonical forms stays above the match threshold (ratio > 0.5 with lots of
-    margin) — FIXTURES.md 'near repost'."""
+    margin) — FIXTURES.md 'near repost'. fast=True trusts the construction
+    (≤3 of ≥50 tokens changed → ratio ≥ ~0.9) and skips the O(len²) check."""
     toks = text.split(" ")
     for _ in range(20):
         cand = list(toks)
         for pos in rng.sample(range(len(cand)), k=rng.randint(1, 3)):
             cand[pos] = rng.choice(vocab)
         out = " ".join(cand)
-        if seq_ratio(canonicalize(text), canonicalize(out)) > 0.8:
+        if fast or seq_ratio(canonicalize(text), canonicalize(out)) > 0.8:
             return out
     return text  # degenerate fallback; still a valid (exact) duplicate
 
 
 def _payload(rng: random.Random, n: int = 2048) -> bytes:
-    return bytes(rng.getrandbits(8) for _ in range(n))
+    return np.random.RandomState(rng.getrandbits(31)).bytes(n)
 
 
 def _payload_variant(rng: random.Random, data: bytes, max_hamming: int = 4) -> bytes:
@@ -181,7 +187,7 @@ def generate(spec: FixtureSpec | None = None) -> Fixture:
         wj = _whitespace_jitter(rng, base)
         members.append(add_row(f"https://sitet{f}.example/ws", None, _make_html(wj), lang))
         # near repost: 1-3 token substitutions, via text column
-        ne = _near_edit(rng, vocab, base)
+        ne = _near_edit(rng, vocab, base, fast=spec.fast)
         members.append(add_row(f"https://sitet{f}.example/near", ne, _make_html(ne), lang))
         family_pairs(members, "text")
 
@@ -217,7 +223,8 @@ def generate(spec: FixtureSpec | None = None) -> Fixture:
         prefix = _text(rng, vocab, 10, 10)
         a_txt = prefix + " " + _text(rng, vocab, 60, 90)
         b_txt = prefix + " " + _text(rng, vocab, 60, 90)
-        assert seq_ratio(canonicalize(a_txt), canonicalize(b_txt)) < 0.5
+        if not spec.fast:
+            assert seq_ratio(canonicalize(a_txt), canonicalize(b_txt)) < 0.5
         ua = add_row(f"https://siteh{f}.example/a", a_txt, _make_html(a_txt), "en")
         ub = add_row(f"https://siteh{f}.example/b", b_txt, _make_html(b_txt), "en")
         a, b = sorted((ua, ub))
@@ -229,7 +236,8 @@ def generate(spec: FixtureSpec | None = None) -> Fixture:
         add_row(f"https://sitehot.example/copy{i}", boiler, _make_html(boiler), "en")
         for i in range(spec.hot_band_copies)
     ]
-    family_pairs(hot_members, "hot_exact")
+    if not spec.fast:  # O(n²) label rows; bench corpora skip them
+        family_pairs(hot_members, "hot_exact")
 
     # --- TTL-expired rows (old warc_ts; singletons) ----------------------
     for f in range(spec.n_ttl_expired):
@@ -270,7 +278,11 @@ def generate(spec: FixtureSpec | None = None) -> Fixture:
         }
     )
 
-    oracle = _build_oracle(urls, ts, texts, htmls)
+    if spec.fast:  # oracle costs one extract per row; bench corpora skip it
+        oracle = pa.table({"url": pa.array([], pa.string()),
+                           "text_norm": pa.array([], pa.string())})
+    else:
+        oracle = _build_oracle(urls, ts, texts, htmls)
     return Fixture(pages=pages, labeled_pairs=labeled, extraction_oracle=oracle, spec=spec)
 
 
@@ -310,7 +322,8 @@ def write_fixture(out_dir: str, spec: FixtureSpec | None = None, shards: int = 4
 
 
 def bench_spec(scale: int = 1, seed: int = 42) -> FixtureSpec:
-    """Scaled-up spec for benchmarks (same generator, same seed discipline)."""
+    """Scaled-up spec for benchmarks (same generator, same seed discipline).
+    ~3.9k pages per unit of scale."""
     return FixtureSpec(
         seed=seed,
         n_text_families=400 * scale,
@@ -322,4 +335,5 @@ def bench_spec(scale: int = 1, seed: int = 42) -> FixtureSpec:
         n_ttl_expired=20,
         n_url_dups=40,
         n_url_fallback=20,
+        fast=True,
     )

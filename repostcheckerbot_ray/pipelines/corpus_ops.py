@@ -1,0 +1,437 @@
+"""Corpus-curation operators over the `documents` / `events` tables.
+
+The training-data-pipeline operator set that extends the reference's
+match-only capability (SURVEY.md §2.E8 note): exact + near deduplication
+(MinHash-LSH, SimHash, n-gram Jaccard), language ID, quality scoring, token
+counting, document fingerprinting, TTL filters, windowed event aggregates.
+Each public function takes ``sf_dir`` and returns a Dataset/Table — they are
+the `queries()` entries in `__ray_entry__.py`, most with a DuckDB oracle.
+
+Scale discipline: reads prune columns; per-batch kernels are
+pyarrow.compute / numpy; stateful shingling runs in an actor pool with a
+token-hash cache; near-dup candidate pairs are verified distributed with a
+broadcast text lookup (candidates ≪ corpus — the LSH contract); only
+pair/cluster-sized results ever reach the driver.
+
+The ``with_copies`` helper unions the table with an id-shifted exact copy of
+itself: a deterministic self-contained duplicate injection so the dedup
+operators have non-trivial, SQL-predictable output on testdata that contains
+no natural duplicates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.fingerprint import (
+    band_keys,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+    token_hash_array,
+)
+from ..functions.scoring import hamming64_matrix
+from ..functions.textstats import (
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    quality_score,
+)
+from ..state.union_find import components_from_edges
+
+COPY_SHIFT = 100_000
+TTL_CUTOFF = "2024-01-15 00:00:00"
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def with_copies(ds, id_col: str = "doc_id", shift: int = COPY_SHIFT):  # noqa: ANN001
+    """ds ∪ exact copy with ids shifted by ``shift`` (E7 union + dup source)."""
+
+    def shifted(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index(id_col),
+            id_col,
+            pc.add(batch[id_col], shift),
+        )
+
+    return ds.union(ds.map_batches(shifted, batch_format="pyarrow", zero_copy_batch=True))
+
+
+# --------------------------------------------------------------------------
+# relational / aggregate ops (SQL-oracled)
+# --------------------------------------------------------------------------
+
+def exact_dedup_by_key(sf_dir: str):
+    """E3 on a composite key: min doc_id per (source, lang) group."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+    from ray.data.aggregate import Min
+
+    return ds.groupby(["source", "lang"]).aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+def exact_dedup_text(sf_dir: str):
+    """E3+E7: exact text dedup over documents ∪ id-shifted copy — keep min
+    doc_id per distinct text (hash-partitioned groupby; the D1 pattern)."""
+    ds = with_copies(_read(sf_dir, "documents", ["doc_id", "text"]))
+    from ray.data.aggregate import Min
+
+    return ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+def lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def source_doc_stats(sf_dir: str):
+    """Pre-aggregable per-source stats (partial-combine pattern: the
+    per-batch partials keep the shuffle tiny)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        g = batch.group_by("source").aggregate([("n_chars", "sum"), ("n_chars", "count")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "chars_part": g["n_chars_sum"],
+                "n_part": _pc.cast(g["n_chars_count"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("source").aggregate(
+        Sum("chars_part", alias_name="total_chars"),
+        Sum("n_part", alias_name="n_docs"),
+    )
+
+
+def top_k_longest(sf_dir: str, k: int = 20):
+    """E6 engine extension: global top-k by length (deterministic doc_id
+    tiebreak)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+
+
+def token_counts(sf_dir: str):
+    """Whitespace token count, fully vectorized (Arrow kernels only)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch["text"])
+        n = pc.list_value_length(toks)
+        # Python str.split() on ''/whitespace-only gives []; Arrow gives ['']
+        # for '' — align by zeroing rows with no non-space chars
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        n = pc.if_else(pc.equal(pc.utf8_length(trimmed), 0), 0, n)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def char_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_calc": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ttl_filter_events(sf_dir: str):
+    """B9/E5 generalization: timestamp-predicate filter at the read."""
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    cutoff = pa.scalar(np.datetime64(TTL_CUTOFF.replace(" ", "T"), "us"), pa.timestamp("us"))
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], cutoff)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def event_window_counts(sf_dir: str):
+    """Tumbling 1-day window count per event_type (streaming-shaped op on a
+    batch engine: bucket column + grouped aggregate)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        return pa.table({"event_type": batch["event_type"], "day": day})
+
+    return ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        ["event_type", "day"]
+    ).aggregate(Count(alias_name="n"))
+
+
+# --------------------------------------------------------------------------
+# text-analysis ops (heuristic → rows-only oracle)
+# --------------------------------------------------------------------------
+
+class _TextAnalyzer:
+    """Actor: language-ID + quality + fingerprint in one pass (compiled
+    regexes and profiles built once per actor)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        texts = batch["text"].to_pylist()
+        langs, confs, scores, n_toks, fps = [], [], [], [], []
+        for t in texts:
+            toks = t.lower().split()
+            lg, cf = lang_id(toks)
+            f = quality_features(t)
+            langs.append(lg)
+            confs.append(round(cf, 6))
+            scores.append(quality_score(f))
+            n_toks.append(int(f["n_tokens"]))
+            fps.append(f"{doc_fingerprint(t):016x}")
+        return pa.table(
+            {
+                "doc_id": ids,
+                "lang_pred": pa.array(langs, pa.string()),
+                "lang_conf": pa.array(confs, pa.float64()),
+                "quality": pa.array(scores, pa.float64()),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "fingerprint": pa.array(fps, pa.string()),
+            }
+        )
+
+
+def text_analysis(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_TextAnalyzer, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=2)
+
+
+# --------------------------------------------------------------------------
+# near-dup dedup ops
+# --------------------------------------------------------------------------
+
+class _ShingleBander:
+    """Actor: doc → exploded (doc_id, band_key) MinHash-LSH rows; token-hash
+    cache shared across batches."""
+
+    def __init__(self) -> None:
+        self._cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_id, out_band = [], []
+        for i, t in zip(ids, texts):
+            sh = shingle_hashes(token_hash_array(t.lower().split(), self._cache))
+            for b in band_keys(minhash_signature(sh)):
+                out_id.append(i)
+                out_band.append(int(b))
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "band_key": pa.array(out_band, pa.uint64())}
+        )
+
+
+def _pairs_from_bands(bands_ds, max_block: int = 256) -> set:  # noqa: ANN001
+    """groupby(band_key) → all distinct id pairs per block (capped), deduped
+    driver-side (pairs ≪ corpus)."""
+
+    def pairs_in_band(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group["doc_id"].to_pylist()))[:max_block]
+        if len(ids) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b, pa.int64())})
+
+    out = set()
+    cands = bands_ds.groupby("band_key").map_groups(pairs_in_band, batch_format="pyarrow")
+    for t in cands.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        out.update(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
+    return out
+
+
+def _assign_clusters(ds, comp: dict):  # noqa: ANN001
+    """doc_id → cluster_id (min member; singletons map to themselves)."""
+    import ray
+
+    ref = ray.put(comp)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array([m.get(i, i) for i in ids], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _collect_doc_texts(ds, ids: frozenset) -> dict:  # noqa: ANN001
+    import ray
+
+    ref = ray.put(ids)
+
+    def f(batch: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        mask = pa.array([i in want for i in batch["doc_id"].to_pylist()])
+        return batch.filter(mask)
+
+    small = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    out = {}
+    for b in small.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            out[i] = t
+    return out
+
+
+def _shingle_set(t: str) -> set:
+    """Distinct token 3-grams (strictly; <3 tokens → empty set), matching
+    the SQL oracle's trigram construction exactly."""
+    toks = t.lower().split()
+    return set(zip(toks, toks[1:], toks[2:]))
+
+
+def minhash_dedup_clusters(sf_dir: str, verify_jaccard: float = 0.8):
+    """MinHash-LSH near-dup clusters over documents (the table carries
+    natural near-duplicates): shingle→minhash→band→groupby blocking,
+    exact-Jaccard verification of candidates (broadcast texts), union-find
+    components. At b=32,r=4 the miss probability at J=0.8 is (1-0.8^4)^32
+    ≈ 5e-8 — the blocked scan is equivalent to the reference's full scan
+    (database.py:389-405) at this threshold."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bands = ds.map_batches(_ShingleBander, batch_format="pyarrow",
+                           zero_copy_batch=True, concurrency=2)
+    cand = _pairs_from_bands(bands)
+    texts = _collect_doc_texts(ds, frozenset(x for p in cand for x in p))
+    edges = []
+    cache: dict[int, set] = {}
+    for a, b in sorted(cand):
+        sa = cache.setdefault(a, _shingle_set(texts[a]))
+        sb = cache.setdefault(b, _shingle_set(texts[b]))
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if union and inter / union >= verify_jaccard:
+            edges.append((a, b))
+    comp = components_from_edges(edges)
+    return _assign_clusters(ds.select_columns(["doc_id"]), comp)
+
+
+class _SimhashBander:
+    """Actor: doc → (doc_id, simhash, band_key) rows, 4×16-bit bands
+    (pigeonhole: Hamming < 4 ⇒ one band equal)."""
+
+    N_BANDS = 4
+
+    def __init__(self) -> None:
+        self._cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_id, out_sim, out_band = [], [], []
+        for i, t in zip(ids, texts):
+            sh = shingle_hashes(token_hash_array(t.lower().split(), self._cache))
+            s = simhash64(sh)
+            for b_idx in range(self.N_BANDS):
+                out_id.append(i)
+                out_sim.append(s)
+                out_band.append((b_idx << 56) | ((s >> (b_idx * 16)) & 0xFFFF))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "simhash": pa.array(out_sim, pa.uint64()),
+                "band_key": pa.array(out_band, pa.uint64()),
+            }
+        )
+
+
+def simhash_dedup_clusters(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup clusters: 16-bit-band blocking + in-group Hamming
+    verification (no text fetch needed) + union-find."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = ds.map_batches(_SimhashBander, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=2)
+
+    def pairs_in_band(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_pylist()
+        sims = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        first: dict[int, int] = {}
+        for k, i in enumerate(ids):
+            first.setdefault(i, k)
+        uniq = sorted(first.items())
+        if len(uniq) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        sub = np.array([sims[k] for _, k in uniq], dtype=np.uint64)
+        ham = hamming64_matrix(sub, sub)
+        ai, bi = np.nonzero(np.triu(ham <= max_hamming, k=1))
+        return pa.table(
+            {
+                "id_a": pa.array([uniq[i][0] for i in ai], pa.int64()),
+                "id_b": pa.array([uniq[i][0] for i in bi], pa.int64()),
+            }
+        )
+
+    edges = set()
+    out = rows.groupby("band_key").map_groups(pairs_in_band, batch_format="pyarrow")
+    for t in out.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        edges.update(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
+    comp = components_from_edges(sorted(edges))
+    return _assign_clusters(ds.select_columns(["doc_id"]), comp)
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
+    """Near-dup pairs by exact token-3-gram Jaccard ≥ threshold, found via
+    LSH blocking + exact verification. The DuckDB oracle brute-forces the
+    same Jaccard over ALL O(n²) pairs — i.e. the reference's full-table
+    fuzzy scan (database.py:389-405) — so a match proves the blocked scan
+    loses nothing at this threshold. Integer-set arithmetic on both sides →
+    bit-identical thresholds, no float-tolerance issues."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bands = ds.map_batches(_ShingleBander, batch_format="pyarrow",
+                           zero_copy_batch=True, concurrency=2)
+    cand = _pairs_from_bands(bands)
+    texts = _collect_doc_texts(ds, frozenset(x for p in cand for x in p))
+    rows_a, rows_b = [], []
+    cache: dict[int, set] = {}
+    for a, b in sorted(cand):
+        sa = cache.setdefault(a, _shingle_set(texts[a]))
+        sb = cache.setdefault(b, _shingle_set(texts[b]))
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if union and inter / union >= threshold:
+            rows_a.append(a)
+            rows_b.append(b)
+    return pa.table(
+        {
+            "id_a": pa.array(rows_a, pa.int64()),
+            "id_b": pa.array(rows_b, pa.int64()),
+        }
+    )

@@ -1,0 +1,196 @@
+"""Similarity search + embedding dedup over the `embeddings` table.
+
+- :func:`knn_brute_force` — exact top-k cosine neighbors for a fixed query
+  set: queries broadcast once (ray.put of a float64 matrix), each batch does
+  one numpy matmul and emits only its local top-k per query, the driver
+  merges the tiny per-batch top-k's. No shuffle at all.
+- :func:`knn_ivf` — the scale path: IVF bucketing (deterministic centroid
+  seed = first C vectors), vectors assigned to nearest centroid via one
+  matmul, queries probe the `nprobe` nearest buckets. Approximate; recall
+  measured against brute force in tests.
+- :func:`embedding_dup_pairs` — near-dup pairs (cosine > 0.99) over
+  embeddings ∪ an id-shifted exact copy, blocked by `label` ("at a fixed
+  blocking key"): groupby(label) → in-group cosine matrix → pairs.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+COPY_SHIFT = 100_000
+DEFAULT_QUERY_IDS = (0, 1, 2, 3)
+
+
+def _read_embeddings(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _batch_matrix(batch: pa.Table) -> np.ndarray:
+    col = batch["embedding"].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(batch.num_rows, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _query_matrix(sf_dir: str, query_ids) -> tuple[np.ndarray, list]:  # noqa: ANN001
+    ds = _read_embeddings(sf_dir)
+    qset = set(int(q) for q in query_ids)
+    rows = []
+    for b in ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=pa.array(sorted(qset)))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for vid, emb in zip(b["vec_id"].to_pylist(), b["embedding"].to_pylist()):
+            rows.append((vid, emb))
+    rows.sort()
+    q = _normalize(np.array([r[1] for r in rows], dtype=np.float64))
+    return q, [r[0] for r in rows]
+
+
+def knn_brute_force(sf_dir: str, k: int = 10, query_ids=DEFAULT_QUERY_IDS):  # noqa: ANN001
+    """Exact cosine top-k per query id. Output: (query_id, neighbor_id)."""
+    import ray
+
+    q, qids = _query_matrix(sf_dir, query_ids)
+    q_ref = ray.put((q, qids))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm, qid_list = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch))
+        sims = qm @ m.T  # (n_queries, batch)
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, sims.shape[1])  # +1 to survive self-match removal
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            for j in idx:
+                out_q.append(qid_list[qi])
+                out_n.append(int(vids[j]))
+                out_s.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = _read_embeddings(sf_dir).map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # merge tiny per-batch top-k's on the driver
+    best: dict[int, list] = {}
+    for b in parts.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for qid, nid, s in zip(b["query_id"].to_pylist(), b["neighbor_id"].to_pylist(),
+                               b["sim"].to_pylist()):
+            if nid == qid:
+                continue
+            heapq.heappush(best.setdefault(qid, []), (s, -nid))
+            if len(best[qid]) > k:
+                heapq.heappop(best[qid])
+    out_q, out_n = [], []
+    for qid in sorted(best):
+        for s, negid in sorted(best[qid], reverse=True):
+            out_q.append(qid)
+            out_n.append(-negid)
+    return pa.table(
+        {"query_id": pa.array(out_q, pa.int64()), "neighbor_id": pa.array(out_n, pa.int64())}
+    )
+
+
+def knn_ivf(sf_dir: str, k: int = 10, query_ids=DEFAULT_QUERY_IDS,  # noqa: ANN001
+            n_centroids: int = 16, nprobe: int = 4):
+    """IVF-bucketed approximate top-k: centroids = the n_centroids vectors
+    with smallest vec_id (deterministic stand-in for a k-means fit —
+    documented approximation), bucket = argmax centroid cosine; each query
+    probes its nprobe nearest buckets only."""
+    import ray
+
+    cents, _ = _query_matrix(sf_dir, range(n_centroids))
+    q, qids = _query_matrix(sf_dir, query_ids)
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    ref = ray.put((cents, q, qids, probe))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        cm, qm, qid_list, probe_m = ray.get(ref)
+        m = _normalize(_batch_matrix(batch))
+        bucket = np.argmax(m @ cm.T, axis=1)  # (batch,)
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(bucket, probe_m[qi])
+            if not mask.any():
+                continue
+            sims = qm[qi] @ m[mask].T
+            sub_ids = vids[mask]
+            kk = min(k + 1, len(sub_ids))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            for j in idx:
+                out_q.append(qid_list[qi])
+                out_n.append(int(sub_ids[j]))
+                out_s.append(float(sims[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = _read_embeddings(sf_dir).map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    best: dict[int, list] = {}
+    for b in parts.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for qid, nid, s in zip(b["query_id"].to_pylist(), b["neighbor_id"].to_pylist(),
+                               b["sim"].to_pylist()):
+            if nid == qid:
+                continue
+            heapq.heappush(best.setdefault(qid, []), (s, -nid))
+            if len(best[qid]) > k:
+                heapq.heappop(best[qid])
+    out_q, out_n = [], []
+    for qid in sorted(best):
+        for s, negid in sorted(best[qid], reverse=True):
+            out_q.append(qid)
+            out_n.append(-negid)
+    return pa.table(
+        {"query_id": pa.array(out_q, pa.int64()), "neighbor_id": pa.array(out_n, pa.int64())}
+    )
+
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.99):
+    """Near-dup pairs over embeddings ∪ id-shifted exact copy, blocked by
+    label (fixed blocking key): within-block cosine matrix, emit id_a<id_b
+    pairs with similarity > threshold."""
+    ds = _read_embeddings(sf_dir)
+
+    def shifted(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("vec_id")
+        return batch.set_column(i, "vec_id", pc.add(batch["vec_id"], COPY_SHIFT))
+
+    both = ds.union(ds.map_batches(shifted, batch_format="pyarrow", zero_copy_batch=True))
+
+    def pairs_in_label(group: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(group))
+        vids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        sims = m @ m.T
+        ai, bi = np.nonzero(np.triu(sims > threshold, k=1))
+        a = np.minimum(vids[ai], vids[bi])
+        b = np.maximum(vids[ai], vids[bi])
+        return pa.table(
+            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+        )
+
+    return both.groupby("label").map_groups(pairs_in_label, batch_format="pyarrow")

@@ -387,13 +387,18 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     import ray.data as rd
 
     if write_outputs:
+        import shutil
+
         # write once, hand back the on-disk dataset — consumers re-read
-        # Parquet instead of re-running the dedup/assign DAG
+        # Parquet instead of re-running the dedup/assign DAG. Final output
+        # dirs are replaced wholesale (write_parquet appends otherwise).
         edges_dir = os.path.join(out_dir, "edges")
+        shutil.rmtree(edges_dir, ignore_errors=True)
         edges.write_parquet(edges_dir)
         edges = rd.read_parquet(edges_dir)
         clusters = assign_clusters(fingerprints, edges)
         clusters_dir = os.path.join(out_dir, "clusters")
+        shutil.rmtree(clusters_dir, ignore_errors=True)
         clusters.write_parquet(clusters_dir)
         clusters = rd.read_parquet(clusters_dir)
         pq.write_table(metrics.table(), os.path.join(out_dir, "metrics.parquet"))
