@@ -20,14 +20,24 @@ import sys
 TEXT_SENTINELS = frozenset({"", "&#x200B;", "[removed]", "[deleted]"})
 
 
+# Every Unicode codepoint for which str.isspace() is true (CPython 3.x
+# Unicode database; pinned as a constant so worker processes skip the 1.1M
+# codepoint scan at startup — test_functions verifies it against the full
+# scan, keeping the bit-for-bit ``c.isspace()`` contract).
+_WHITESPACE_CODEPOINTS = (
+    0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20, 0x85, 0xA0,
+    0x1680, 0x2000, 0x2001, 0x2002, 0x2003, 0x2004, 0x2005, 0x2006, 0x2007,
+    0x2008, 0x2009, 0x200A, 0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+)
+
+
 @functools.lru_cache(maxsize=1)
 def _whitespace_chars() -> str:
-    """Every Unicode codepoint for which str.isspace() is true.
+    return "".join(map(chr, _WHITESPACE_CODEPOINTS))
 
-    Computed by full scan once per process (cached); used to build both the
-    str.translate table and the vectorizable regex character class so that
-    all canonicalization paths agree bit-for-bit with ``c.isspace()``.
-    """
+
+def _whitespace_chars_full_scan() -> str:
+    """The authoritative definition; used only by tests to pin the constant."""
     return "".join(c for c in map(chr, range(sys.maxunicode + 1)) if c.isspace())
 
 

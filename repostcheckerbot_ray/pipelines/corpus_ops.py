@@ -244,31 +244,43 @@ class _ShingleBander:
             for b in band_keys(minhash_signature(sh)):
                 out_id.append(i)
                 out_band.append(int(b))
+        band_arr = np.array(out_band, dtype=np.uint64)
         return pa.table(
             {"doc_id": pa.array(out_id, pa.int64()),
-             "band_key": pa.array(out_band, pa.uint64())}
+             "band_key": pa.array(band_arr),
+             "part": pa.array((band_arr % np.uint64(32)).astype(np.int32))}
         )
 
 
 def _pairs_from_bands(bands_ds, max_block: int = 256) -> set:  # noqa: ANN001
-    """groupby(band_key) → all distinct id pairs per block (capped), deduped
-    driver-side (pairs ≪ corpus)."""
+    """Part-keyed exchange (part = band_key % 32 → few large groups), then a
+    numpy run-scan over sorted band keys inside each part; only
+    multi-occupancy bands emit pairs. Pairs deduped driver-side (≪ corpus).
+    Grouping by raw band_key would create one group per doc-band (millions
+    of singleton dispatches)."""
 
-    def pairs_in_band(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))[:max_block]
-        if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
+    def pairs_in_part(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("band_key", "ascending"), ("doc_id", "ascending")])
+        bk = g["band_key"].to_numpy(zero_copy_only=False)
+        ids_all = g["doc_id"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
         a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+        for s_, e_ in zip(starts, ends):
+            if e_ - s_ < 2:
+                continue
+            ids = sorted(set(ids_all[s_:e_].tolist()))[:max_block]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i])
+                    b.append(ids[j])
         return pa.table({"id_a": pa.array(a, pa.int64()),
                          "id_b": pa.array(b, pa.int64())})
 
     out = set()
-    cands = bands_ds.groupby("band_key").map_groups(pairs_in_band, batch_format="pyarrow")
+    # coalesce before the shuffle: sort-shuffle cost grows with block count²
+    cands = bands_ds.repartition(16).groupby("part").map_groups(
+        pairs_in_part, batch_format="pyarrow")
     for t in cands.iter_batches(batch_size=65536, batch_format="pyarrow"):
         out.update(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
     return out
@@ -363,11 +375,13 @@ class _SimhashBander:
                 out_id.append(i)
                 out_sim.append(s)
                 out_band.append((b_idx << 56) | ((s >> (b_idx * 16)) & 0xFFFF))
+        band_arr = np.array(out_band, dtype=np.uint64)
         return pa.table(
             {
                 "doc_id": pa.array(out_id, pa.int64()),
                 "simhash": pa.array(out_sim, pa.uint64()),
-                "band_key": pa.array(out_band, pa.uint64()),
+                "band_key": pa.array(band_arr),
+                "part": pa.array((band_arr % np.uint64(32)).astype(np.int32)),
             }
         )
 
@@ -379,28 +393,38 @@ def simhash_dedup_clusters(sf_dir: str, max_hamming: int = 3):
     rows = ds.map_batches(_SimhashBander, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=2)
 
-    def pairs_in_band(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_pylist()
-        sims = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        first: dict[int, int] = {}
-        for k, i in enumerate(ids):
-            first.setdefault(i, k)
-        uniq = sorted(first.items())
-        if len(uniq) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        sub = np.array([sims[k] for _, k in uniq], dtype=np.uint64)
-        ham = hamming64_matrix(sub, sub)
-        ai, bi = np.nonzero(np.triu(ham <= max_hamming, k=1))
+    def pairs_in_part(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("band_key", "ascending"), ("doc_id", "ascending")])
+        bk = g["band_key"].to_numpy(zero_copy_only=False)
+        ids_all = g["doc_id"].to_numpy(zero_copy_only=False)
+        sims_all = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        out_a, out_b = [], []
+        for s_, e_ in zip(starts, ends):
+            if e_ - s_ < 2:
+                continue
+            first: dict[int, int] = {}
+            for k in range(s_, e_):
+                first.setdefault(int(ids_all[k]), k)
+            uniq = sorted(first.items())
+            if len(uniq) < 2:
+                continue
+            sub = np.array([sims_all[k] for _, k in uniq], dtype=np.uint64)
+            ham = hamming64_matrix(sub, sub)
+            ai, bi = np.nonzero(np.triu(ham <= max_hamming, k=1))
+            out_a.extend(uniq[i][0] for i in ai)
+            out_b.extend(uniq[i][0] for i in bi)
         return pa.table(
             {
-                "id_a": pa.array([uniq[i][0] for i in ai], pa.int64()),
-                "id_b": pa.array([uniq[i][0] for i in bi], pa.int64()),
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
             }
         )
 
     edges = set()
-    out = rows.groupby("band_key").map_groups(pairs_in_band, batch_format="pyarrow")
+    out = rows.repartition(16).groupby("part").map_groups(
+        pairs_in_part, batch_format="pyarrow")
     for t in out.iter_batches(batch_size=65536, batch_format="pyarrow"):
         edges.update(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
     comp = components_from_edges(sorted(edges))

@@ -35,20 +35,9 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.fingerprint import token_hash
-from ..stages.blocking import (
-    explode_chunk_bands,
-    explode_payload_bands,
-    explode_text_bands,
-)
 from ..stages.clustering import assign_clusters
 from ..stages.fingerprint_stage import FINGERPRINT_SCHEMA, FingerprintBatcher
-from ..stages.scoring_stage import (
-    dedup_edges,
-    make_chunk_scorer,
-    make_payload_scorer,
-    make_text_candidate_scorer,
-    make_text_pair_verifier,
-)
+from ..stages.scoring_stage import dedup_edges, make_text_pair_verifier
 from ..state.checkpoint import StageCheckpoint, config_hash
 
 EDGES_SCHEMA = pa.schema(
@@ -71,6 +60,12 @@ class RepostConfig:
     max_block: int = 256
     ttl_cutoff_us: int | None = None  # admission TTL as absolute cutoff (B9)
     batch_size: int = 512
+    # blocks fed into each groupby shuffle: Ray's sort-shuffle cost grows
+    # with the square of the block count, so inputs are coalesced to this
+    # many blocks first (at real scale blocks are already ~128 MiB and this
+    # becomes a no-op; it matters for small-corpus runs where map stages
+    # emit hundreds of tiny blocks)
+    shuffle_blocks: int = 16
     # None -> auto-size to the Ray cluster, leaving headroom for the
     # shuffle/write tasks that run concurrently (an actor pool that reserves
     # every CPU starves the downstream Sort and the pipeline stalls)
@@ -208,7 +203,7 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
             zero_copy_batch=True,
             batch_size=cfg.batch_size,
             concurrency=fp_concurrency,
-        )
+        ).repartition(cfg.shuffle_blocks)
 
     # url → part, so D1 dedup is partition-local: fold it into the part write
     fp_schema = FINGERPRINT_SCHEMA
@@ -232,65 +227,55 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
                                        fp_schema, metrics)
     fp_ckpt.write_lineage(out_dir, {"input": str(pages_path)})
 
-    # --- Stage 2a: exact edges (D2/F4) --------------------------------------
-    ex_ckpt = StageCheckpoint(out_dir, "edges_exact", h, cfg.num_parts)
+    # --- Stage 2: unified edge exchange (D2+D3+F2+F3 in ONE shuffle) --------
+    # All modalities explode into one kind-salted block-row relation; a
+    # single groupby(band_key) produces exact/payload/chunked edges directly
+    # plus text candidate rows (kind="tcand") for the verification pass.
+    from ..stages.blocking import explode_block_rows
+    from ..stages.scoring_stage import make_part_scorer
+
+    ed_ckpt = StageCheckpoint(out_dir, "edges_raw", h, cfg.num_parts)
     edges_schema = EDGES_SCHEMA.append(pa.field("part", pa.int32()))
 
-    def ex_filter(done: set[int]):
-        return fingerprints.map_batches(
-            _drop_parts_filter("content_hash", cfg.num_parts, done),
+    def ed_filter(done: set[int]):
+        rows = explode_block_rows(fingerprints, num_parts=cfg.num_parts)
+        if not done:
+            return rows
+        done_arr = pa.array(sorted(done), pa.int32())
+        return rows.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t["part"], value_set=done_arr))),
             batch_format="pyarrow", zero_copy_batch=True,
         )
 
-    def ex_builder(src):  # noqa: ANN001
-        def star(group: pa.Table) -> pa.Table:
-            n = group.num_rows
-            part = _part_of_key(group["content_hash"][0].as_py(), cfg.num_parts)
-            if n < 2:
-                return edges_schema.empty_table()
-            urls = sorted(group["url"].to_pylist())
-            hub = urls[0]
-            return pa.table(
-                {
-                    "url_a": pa.array([hub] * (n - 1)),
-                    "url_b": pa.array(urls[1:]),
-                    "score": pa.array([100.0] * (n - 1), pa.float64()),
-                    "kind": pa.array(["exact"] * (n - 1)),
-                    "part": pa.array([part] * (n - 1), pa.int32()),
-                },
-                schema=edges_schema,
-            )
+    def ed_builder(rows):  # noqa: ANN001
+        # ONE exchange keyed by part (few, large groups); band-key runs are
+        # scanned inside each part — see make_part_scorer
+        return rows.repartition(cfg.shuffle_blocks).groupby("part").map_groups(
+            make_part_scorer(cfg.threshold, cfg.max_block), batch_format="pyarrow")
 
-        return src.groupby("content_hash").map_groups(star, batch_format="pyarrow")
+    edges_raw = _checkpointed_stage(ed_builder, ed_filter, ed_ckpt,
+                                    edges_schema, metrics)
+    ed_ckpt.write_lineage(out_dir, {})
 
-    exact_edges = _checkpointed_stage(ex_builder, ex_filter, ex_ckpt,
-                                      edges_schema, metrics)
-    ex_ckpt.write_lineage(out_dir, {})
+    # --- Stage 2b: text candidate verification (broadcast pass, D3/F1) -----
+    tv_ckpt = StageCheckpoint(out_dir, "edges_text", h, cfg.num_parts)
 
-    # --- Stage 2b: text fuzzy edges (D3/F1) ---------------------------------
-    tx_ckpt = StageCheckpoint(out_dir, "edges_text", h, cfg.num_parts)
+    def tv_filter(done: set[int]):
+        def keep(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch["kind"], "tcand")
+            if done:
+                m = pc.and_(m, pc.invert(pc.is_in(
+                    batch["part"], value_set=pa.array(sorted(done), pa.int32()))))
+            return batch.filter(m)
 
-    def tx_filter(done: set[int]):
-        band_rows = explode_text_bands(fingerprints)
-        return band_rows.map_batches(
-            _drop_parts_filter("band_key", cfg.num_parts, done),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
+        return edges_raw.map_batches(keep, batch_format="pyarrow",
+                                     zero_copy_batch=True)
 
-    def tx_builder(band_rows):  # noqa: ANN001
-        scorer = make_text_candidate_scorer(cfg.threshold, cfg.max_block)
-
-        def score_with_part(group: pa.Table) -> pa.Table:
-            part = _part_of_key(str(group["band_key"][0].as_py()), cfg.num_parts)
-            out = scorer(group)
-            return out.append_column("part", pa.array([part] * out.num_rows, pa.int32()))
-
-        cands = band_rows.groupby("band_key").map_groups(score_with_part,
-                                                         batch_format="pyarrow")
-        # stream candidates to the driver ONCE, splitting cap sentinels and
-        # deduping pairs (each true pair surfaces in up to NUM_BANDS bands;
-        # deterministic min-part keeps resume placement stable). Candidates
-        # ≪ corpus by construction — same assumption as the text broadcast.
+    def tv_builder(cands):  # noqa: ANN001
+        # stream candidates to the driver ONCE: dedupe pairs (a pair can
+        # surface in up to NUM_BANDS bands; deterministic min part) and
+        # count cap sentinels. Candidates << corpus by construction — the
+        # same assumption as the broadcast text lookup below.
         pair_part: dict[tuple[str, str], int] = {}
         capped = 0
         for b in cands.iter_batches(batch_size=65536, batch_format="pyarrow"):
@@ -306,7 +291,6 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         metrics.add("edges_text", "capped_candidates_dropped", capped)
         metrics.add("edges_text", "candidate_pairs", len(pair_part))
         if not pair_part:
-            import ray.data as rd
             return rd.from_arrow(edges_schema.empty_table())
         keys = sorted(pair_part)
         pairs_tbl = pa.table(
@@ -316,24 +300,18 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
                 "part": pa.array([pair_part[k] for k in keys], pa.int32()),
             }
         )
-
-        # broadcast texts for candidate urls only (semi-join + ray.put;
-        # candidates ≪ corpus — see scoring_stage docstring)
         cand_urls = frozenset(pairs_tbl["url_a"].to_pylist()) | frozenset(
-            pairs_tbl["url_b"].to_pylist()
-        )
+            pairs_tbl["url_b"].to_pylist())
         metrics.add("edges_text", "candidate_urls", len(cand_urls))
         texts = _collect_texts(fingerprints, cand_urls)
         texts_ref = ray.put(texts)
-
-        import ray.data as rd
-        pairs_ds = rd.from_arrow(pairs_tbl)
+        # SequenceMatcher is the per-pair hot loop: spread pairs across the
+        # cluster (from_arrow yields ONE block otherwise -> serial verify)
+        pairs_ds = rd.from_arrow(pairs_tbl).repartition(cfg.shuffle_blocks)
         verified = pairs_ds.map_batches(
             make_text_pair_verifier(texts_ref, cfg.threshold),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+            batch_format="pyarrow", zero_copy_batch=True,
         )
-        # verifier drops 'part'; re-derive it from the pair key map
         part_ref = ray.put(pair_part)
 
         def add_part(batch: pa.Table) -> pa.Table:
@@ -344,44 +322,19 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
 
         return verified.map_batches(add_part, batch_format="pyarrow")
 
-    text_edges = _checkpointed_stage(tx_builder, tx_filter, tx_ckpt,
+    text_edges = _checkpointed_stage(tv_builder, tv_filter, tv_ckpt,
                                      edges_schema, metrics)
-    tx_ckpt.write_lineage(out_dir, {})
+    tv_ckpt.write_lineage(out_dir, {})
 
-    # --- Stage 2c/2d: payload + chunked fuzzy edges (F2/F3) -----------------
-    def banded_edge_stage(name: str, explode_fn, scorer_fn):  # noqa: ANN001
-        ck = StageCheckpoint(out_dir, name, h, cfg.num_parts)
-
-        def in_filter(done: set[int]):
-            rows = explode_fn(fingerprints)
-            return rows.map_batches(
-                _drop_parts_filter("band_key", cfg.num_parts, done),
-                batch_format="pyarrow", zero_copy_batch=True,
-            )
-
-        def builder(rows):  # noqa: ANN001
-            def score_with_part(group: pa.Table) -> pa.Table:
-                part = _part_of_key(str(group["band_key"][0].as_py()), cfg.num_parts)
-                out = scorer_fn(group)
-                return out.append_column("part",
-                                         pa.array([part] * out.num_rows, pa.int32()))
-
-            return rows.groupby("band_key").map_groups(score_with_part,
-                                                       batch_format="pyarrow")
-
-        out = _checkpointed_stage(builder, in_filter, ck, edges_schema, metrics)
-        ck.write_lineage(out_dir, {})
-        return out
-
-    payload_edges = banded_edge_stage("edges_payload", explode_payload_bands,
-                                      make_payload_scorer(cfg.threshold))
-    chunk_edges = banded_edge_stage("edges_chunked", explode_chunk_bands,
-                                    make_chunk_scorer(cfg.threshold))
+    direct_edges = edges_raw.map_batches(
+        lambda t: t.filter(pc.not_equal(t["kind"], "tcand")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
     # --- Stage 3: union + edge dedup (D4) -----------------------------------
-    all_edges = exact_edges.union(text_edges).union(payload_edges).union(chunk_edges)
+    all_edges = direct_edges.union(text_edges)
     all_edges = all_edges.select_columns(["url_a", "url_b", "score", "kind"])
-    edges = dedup_edges(all_edges)
+    edges = dedup_edges(all_edges.repartition(max(2, cfg.shuffle_blocks // 2)))
 
     # --- Stage 4: clusters (E4) ---------------------------------------------
     import ray.data as rd
@@ -402,6 +355,16 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         clusters.write_parquet(clusters_dir)
         clusters = rd.read_parquet(clusters_dir)
         pq.write_table(metrics.table(), os.path.join(out_dir, "metrics.parquet"))
+        # A8 report sink: small driver-side render of the top clusters
+        # (non-singleton clusters + edges are tiny relative to the corpus)
+        from ..functions.report import render_cluster_report
+
+        cl_small = clusters.map_batches(
+            lambda t: t.filter(pc.greater(t["cluster_size"], 1)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        with open(os.path.join(out_dir, "report.md"), "w") as f:
+            f.write(render_cluster_report(cl_small, edges.to_pandas()))
     else:
         clusters = assign_clusters(fingerprints, edges)
 

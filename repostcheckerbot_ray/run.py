@@ -1,0 +1,69 @@
+"""CLI entry point: `python -m repostcheckerbot_ray.run --pages <dir> --out <dir>`.
+
+The `ray job submit` target (SURVEY.md §3 engine lifecycle): owns a Ray
+session (library code never does), builds RepostConfig from flags, runs the
+flagship pipeline, prints a summary. A second subcommand runs a single
+registered stage by name for ad-hoc use.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:  # noqa: ANN001
+    p = argparse.ArgumentParser(prog="repostcheckerbot_ray")
+    p.add_argument("--pages", required=True, help="input pages parquet dir")
+    p.add_argument("--out", required=True, help="output/checkpoint dir")
+    p.add_argument("--threshold", type=float, default=5.0)
+    p.add_argument("--num-parts", type=int, default=16)
+    p.add_argument("--max-block", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--ttl-cutoff-us", type=int, default=None)
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="local session size (default: all cores)")
+    p.add_argument("--stage", default=None,
+                   help="run one registered stage instead of the pipeline")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    try:
+        import ray.data as rd
+
+        if args.stage:
+            from .stages import registry
+
+            ds = rd.read_parquet(args.pages)
+            out = registry.get(args.stage).apply(
+                ds, {"num_parts": args.num_parts, "batch_size": args.batch_size})
+            out.write_parquet(args.out)
+            print(json.dumps({"stage": args.stage, "rows": out.count()}))
+            return 0
+
+        from .pipelines.repost import RepostConfig, run_repost_pipeline
+
+        cfg = RepostConfig(
+            threshold=args.threshold, num_parts=args.num_parts,
+            max_block=args.max_block, batch_size=args.batch_size,
+            ttl_cutoff_us=args.ttl_cutoff_us,
+        )
+        res = run_repost_pipeline(args.pages, args.out, cfg)
+        summary = {
+            "edges": res["edges"].count(),
+            "clusters": res["clusters"].count(),
+            "out": args.out,
+        }
+        print(json.dumps(summary))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -165,3 +165,135 @@ def explode_chunk_bands(fingerprints_ds):  # noqa: ANN001
         )
 
     return fingerprints_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# Unified block-row relation: ALL modalities share ONE keyed exchange.
+#
+# Each fingerprint row explodes to light rows (url, kind, band_key, carried
+# verification fields); band_key is kind-salted so the four key spaces can
+# never collide, and a single groupby(band_key) feeds a per-kind dispatcher
+# scorer (scoring_stage.make_unified_scorer). This folds what would be four
+# all-to-all shuffles (exact D2 / text D3 / payload F2 / chunked F3) into
+# one — at cluster scale the number of exchanges dominates, not per-row math.
+# --------------------------------------------------------------------------
+
+from ..functions.fingerprint import splitmix64 as _splitmix64  # noqa: E402
+
+_KIND_SALT = {
+    "e": np.uint64(0xE0E0E0E0E0E0E0E0),
+    "t": np.uint64(0x7171717171717171),
+    "p": np.uint64(0x9A9A9A9A9A9A9A9A),
+    "c": np.uint64(0xC5C5C5C5C5C5C5C5),
+}
+
+BLOCK_ROW_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("kind", pa.string()),
+        ("band_key", pa.uint64()),
+        ("content_hash", pa.string()),
+        ("simhash", pa.uint64()),
+        ("text_len", pa.uint32()),
+        ("payload_hash", pa.uint64()),
+        ("chunk_hashes", pa.list_(pa.uint64())),
+        ("part", pa.int32()),
+    ]
+)
+
+
+def _salted(kind: str, value: int) -> int:
+    return int(_splitmix64(np.array([np.uint64(value) ^ _KIND_SALT[kind]],
+                                    dtype=np.uint64))[0])
+
+
+def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
+    """fingerprints -> unified light block rows (single pass, no shuffle).
+
+    Carries ``part = band_key % num_parts``: the edge stage groups by PART
+    (few, large groups) and scans sorted band-key runs inside each part —
+    grouping by raw band_key would mean millions of mostly-singleton groups
+    whose per-group dispatch overhead dwarfs the real work.
+
+    Vectorized: the dominant text-band explosion (NUM_BANDS rows per doc) is
+    a numpy repeat/take; the per-kind salting is one splitmix64 pass per
+    sub-table.
+    """
+
+    def salted_vec(kind: str, vals: np.ndarray) -> np.ndarray:
+        return _splitmix64(vals.astype(np.uint64) ^ _KIND_SALT[kind])
+
+    def _subtable(urls, kind, band, ch=None, sim=None, tl=None, ph=None, ck=None):  # noqa: ANN001
+        n = len(band)
+        return pa.table(
+            {
+                "url": urls,
+                "kind": pa.array([kind] * n, pa.string()),
+                "band_key": pa.array(band),
+                "content_hash": ch if ch is not None else pa.array([""] * n, pa.string()),
+                "simhash": pa.array(sim if sim is not None else np.zeros(n, np.uint64)),
+                "text_len": pa.array(tl if tl is not None else np.zeros(n, np.uint32)),
+                "payload_hash": pa.array(ph if ph is not None else np.zeros(n, np.uint64)),
+                "chunk_hashes": ck if ck is not None else pa.array([[]] * n, pa.list_(pa.uint64())),
+                "part": pa.array((band % np.uint64(num_parts)).astype(np.int32)),
+            },
+            schema=BLOCK_ROW_SCHEMA,
+        )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mods = np.asarray(batch["modality"].to_numpy(zero_copy_only=False))
+        out = []
+
+        # exact rows — every doc; key folds the hash's first 16 hex chars
+        # (equality re-checked inside the group, so a collision only costs a
+        # wasted compare)
+        chl = batch["content_hash"].to_pylist()
+        e_band = salted_vec("e", np.array([int(c[:16], 16) for c in chl],
+                                          dtype=np.uint64))
+        out.append(_subtable(batch["url"], "e", e_band, ch=batch["content_hash"]))
+
+        # text rows — NUM_BANDS per doc, fully vectorized
+        t_mask = pa.array(mods == "text")
+        t = batch.filter(t_mask)
+        if t.num_rows:
+            bands = t["band_keys"].combine_chunks()
+            counts = bands.value_lengths().to_numpy(zero_copy_only=False)
+            flat = bands.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            idx = pa.array(np.repeat(np.arange(t.num_rows), counts))
+            out.append(_subtable(
+                t["url"].take(idx), "t", salted_vec("t", flat),
+                ch=t["content_hash"].take(idx),
+                sim=t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)[np.repeat(np.arange(t.num_rows), counts)],
+                tl=t["text_len"].to_numpy(zero_copy_only=False).astype(np.uint32)[np.repeat(np.arange(t.num_rows), counts)],
+            ))
+
+        # payload rows — PAYLOAD_BANDS per doc, vectorized per band index
+        p = batch.filter(pa.array(mods == "payload"))
+        if p.num_rows:
+            ph = p["payload_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            width = 64 // PAYLOAD_BANDS
+            mask_bits = np.uint64((1 << width) - 1)
+            for b_idx in range(PAYLOAD_BANDS):
+                band_vals = ((ph >> np.uint64(b_idx * width)) & mask_bits) | (
+                    np.uint64(b_idx) << np.uint64(56))
+                out.append(_subtable(p["url"], "p", salted_vec("p", band_vals), ph=ph))
+
+        # chunked rows — one per distinct chunk hash (few docs; python loop)
+        c = batch.filter(pa.array(mods == "chunked"))
+        if c.num_rows:
+            urls, keys, lists = [], [], []
+            for u, chs in zip(c["url"].to_pylist(), c["chunk_hashes"].to_pylist()):
+                for cv in sorted(set(chs)):
+                    urls.append(u)
+                    keys.append(cv)
+                    lists.append(chs)
+            out.append(_subtable(
+                pa.array(urls, pa.string()), "c",
+                salted_vec("c", np.array(keys, dtype=np.uint64)),
+                ck=pa.array(lists, pa.list_(pa.uint64())),
+            ))
+
+        return pa.concat_tables(out)
+
+    return fingerprints_ds.map_batches(explode, batch_format="pyarrow",
+                                       zero_copy_batch=True)

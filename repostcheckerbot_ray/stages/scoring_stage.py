@@ -260,3 +260,90 @@ def dedup_edges(edges_ds):  # noqa: ANN001
         return group.sort_by([("score", "descending"), ("kind", "ascending")]).slice(0, 1)
 
     return edges_ds.groupby(["url_a", "url_b"]).map_groups(keep_max, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Unified per-group dispatcher for the single-exchange edge stage: one
+# groupby(band_key) over blocking.explode_block_rows output; each group is
+# homogeneous in kind (keys are kind-salted) and routes to the matching
+# scorer. Text groups emit CANDIDATE rows (kind="tcand", score=-1) that the
+# pipeline verifies in a second, broadcast-based pass — everything else
+# emits final edges directly.
+# --------------------------------------------------------------------------
+
+def make_unified_scorer(thresh: float = DEFAULT_THRESHOLD,
+                        max_block: int = DEFAULT_MAX_BLOCK):
+    text_scorer = make_text_candidate_scorer(thresh, max_block)
+    payload_scorer = make_payload_scorer(thresh)
+    chunk_scorer = make_chunk_scorer(thresh)
+
+    def score_group(group: pa.Table) -> pa.Table:
+        kind = group["kind"][0].as_py()
+        if kind == "e":
+            # exact star edges; content_hash equality re-checked (the band
+            # key is a 64-bit fold of it): sub-group by true hash
+            out_a, out_b = [], []
+            by_hash: dict[str, list] = {}
+            for u, ch in zip(group["url"].to_pylist(),
+                             group["content_hash"].to_pylist()):
+                by_hash.setdefault(ch, []).append(u)
+            for urls in by_hash.values():
+                uniq = sorted(set(urls))
+                if len(uniq) > 1:
+                    out_a.extend([uniq[0]] * (len(uniq) - 1))
+                    out_b.extend(uniq[1:])
+            return pa.table(
+                {
+                    "url_a": pa.array(out_a, pa.string()),
+                    "url_b": pa.array(out_b, pa.string()),
+                    "score": pa.array([100.0] * len(out_a), pa.float64()),
+                    "kind": pa.array(["exact"] * len(out_a), pa.string()),
+                }
+            )
+        if kind == "t":
+            cands = text_scorer(group)
+            n = cands.num_rows
+            return pa.table(
+                {
+                    "url_a": cands["url_a"],
+                    "url_b": cands["url_b"],
+                    "score": pa.array([-1.0] * n, pa.float64()),
+                    "kind": pa.array(["tcand"] * n, pa.string()),
+                }
+            )
+        if kind == "p":
+            return payload_scorer(group)
+        return chunk_scorer(group)
+
+    return score_group
+
+
+def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
+                     max_block: int = DEFAULT_MAX_BLOCK):
+    """Whole-partition scorer: one group per PART (hash of band_key), inside
+    which sorted band-key runs are scanned with numpy boundary detection and
+    only multi-occupancy bands reach the per-kind scorer. This turns
+    millions of per-band dispatches into a tight per-part loop."""
+    unified = make_unified_scorer(thresh, max_block)
+
+    def score_part(group: pa.Table) -> pa.Table:
+        part = group["part"][0].as_py()
+        g = group.sort_by([("band_key", "ascending"), ("url", "ascending")])
+        bk = g["band_key"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        outs = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            res = unified(g.slice(s, e - s))
+            if res.num_rows:
+                outs.append(res)
+        if not outs:
+            empty = _empty_edge_table()
+            return empty.append_column("part", pa.array([], pa.int32()))
+        merged = pa.concat_tables(outs)
+        return merged.append_column(
+            "part", pa.array([part] * merged.num_rows, pa.int32()))
+
+    return score_part

@@ -221,3 +221,14 @@ def test_union_find_components_deterministic():
     assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
     # order-independence
     assert components_from_edges(reversed(edges)) == comp
+
+
+def test_whitespace_constant_matches_full_scan():
+    """The pinned whitespace codepoint list must equal the authoritative
+    full-unicode isspace() scan (textnorm startup optimization)."""
+    from repostcheckerbot_ray.functions.textnorm import (
+        _whitespace_chars,
+        _whitespace_chars_full_scan,
+    )
+
+    assert _whitespace_chars() == _whitespace_chars_full_scan()

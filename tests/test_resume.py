@@ -54,7 +54,7 @@ def test_resume_skips_completed_parts(first_run, fixture_dir):
     resumed = m[(m["stage"] == "fingerprints") & (m["counter"] == "parts_resumed")]
     assert int(resumed["value"].iloc[0]) == 5
     # edge stages were fully complete -> all parts resumed
-    for stage in ("edges_exact", "edges_text", "edges_payload", "edges_chunked"):
+    for stage in ("edges_raw", "edges_text"):
         row = m[(m["stage"] == stage) & (m["counter"] == "parts_resumed")]
         assert int(row["value"].iloc[0]) == cfg.num_parts, stage
 
@@ -65,7 +65,7 @@ def test_config_change_invalidates_checkpoints(first_run, fixture_dir):
     cfg2 = RepostConfig(num_parts=8, threshold=2.0)
     res = run_repost_pipeline(f"{fixture_dir}/pages", out, cfg2)
     m = res["metrics"].table().to_pandas()
-    for stage in ("fingerprints", "edges_exact", "edges_text"):
+    for stage in ("fingerprints", "edges_raw", "edges_text"):
         row = m[(m["stage"] == stage) & (m["counter"] == "parts_resumed")]
         assert int(row["value"].iloc[0]) == 0, stage
     # threshold 2 keeps only ratio > 0.8 text pairs: fewer/equal text edges
