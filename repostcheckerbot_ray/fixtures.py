@@ -85,8 +85,19 @@ def _vocab(rng: random.Random, n: int = 600) -> list[str]:
     return sorted(words)
 
 
+_VOCAB_ARR: dict[int, np.ndarray] = {}
+
+
 def _text(rng: random.Random, vocab: list[str], lo: int = 50, hi: int = 300) -> str:
-    return " ".join(rng.choice(vocab) for _ in range(rng.randint(lo, hi)))
+    """Seeded doc text; numpy-vectorized (the generator is called ~1M times
+    for bench corpora — per-token random.choice would dominate)."""
+    arr = _VOCAB_ARR.get(id(vocab))
+    if arr is None:
+        arr = np.array(vocab, dtype=object)
+        _VOCAB_ARR[id(vocab)] = arr
+    r = np.random.RandomState(rng.getrandbits(31))
+    n = r.randint(lo, hi + 1)
+    return " ".join(arr[r.randint(0, len(arr), n)])
 
 
 def _whitespace_jitter(rng: random.Random, text: str) -> str:

@@ -56,29 +56,37 @@ def render_match_table(rows: list[dict]) -> str:
     return "\n".join(lines)
 
 
-def render_cluster_report(clusters_df, edges_df, top_k: int = 20) -> str:  # noqa: ANN001
+def render_cluster_report(clusters_df, edges_df, top_k: int = 20,
+                          max_rows_per_cluster: int = 50) -> str:  # noqa: ANN001
     """Driver-side render of the largest repost clusters (pandas inputs —
-    call on small/limited results only)."""
+    call on small/limited results only). Edge scores are pre-indexed into a
+    dict (one pass) so rendering is O(members), not O(members × edges)."""
     out = ["# Repost report", ""]
     sizes = (
         clusters_df[clusters_df["cluster_size"] > 1]
         .groupby("cluster_id")["cluster_size"].first()
         .sort_values(ascending=False).head(top_k)
     )
-    ts = dict(zip(clusters_df["url"], clusters_df["warc_ts"]))
+    wanted = set(sizes.index)
+    members_df = clusters_df[clusters_df["cluster_id"].isin(wanted)]
+    ts = dict(zip(members_df["url"], members_df["warc_ts"]))
+    best: dict[str, float] = {}
+    for a, b, sc in zip(edges_df["url_a"], edges_df["url_b"], edges_df["score"]):
+        if best.get(a, -1.0) < sc:
+            best[a] = sc
+        if best.get(b, -1.0) < sc:
+            best[b] = sc
+    by_cluster = dict(iter(members_df.groupby("cluster_id")))
     for cid, size in sizes.items():
-        members = clusters_df[clusters_df["cluster_id"] == cid]
+        members = by_cluster[cid]
         orig = members[members["is_original"]]["url"].iloc[0]
         out.append(f"## cluster {cid} ({int(size)} posts, original: {orig})")
         rows = []
         t0 = ts[orig]
-        for u in members[~members["is_original"]]["url"]:
-            sc = edges_df[
-                ((edges_df["url_a"] == u) | (edges_df["url_b"] == u))
-            ]["score"]
+        for u in members[~members["is_original"]]["url"].head(max_rows_per_cluster):
             age = humanize_age(int(t0.timestamp()), int(ts[u].timestamp()))
             rows.append({"url": u, "original_url": orig, "age": age,
-                         "score": float(sc.max()) if len(sc) else 100.0})
+                         "score": best.get(u, 100.0)})
         out.append(render_match_table(rows))
         out.append("")
     return "\n".join(out)

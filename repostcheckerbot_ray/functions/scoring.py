@@ -55,6 +55,12 @@ def hamming64(a: int, b: int) -> int:
     return int(a ^ b).bit_count()
 
 
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Elementwise popcount of a uint64 array (bytewise table lookup)."""
+    by = x.view(np.uint8).reshape(len(x), 8)
+    return _POP8[by].sum(axis=1, dtype=np.uint16)
+
+
 def hamming64_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(len(a), len(b)) uint16 Hamming matrix for uint64 arrays, vectorized
     (XOR then bytewise popcount lookup)."""

@@ -1,0 +1,53 @@
+"""Pipeline package; shared execution-context helpers."""
+
+from __future__ import annotations
+
+import contextlib
+
+
+@contextlib.contextmanager
+def fast_shuffle():
+    """Scope the hash-shuffle strategy to datasets BUILT inside this block.
+
+    Measured on this engine's unified edge exchange (20M light rows, 32
+    CPUs): sort-shuffle 66s vs hash-shuffle 21s, identical output — all of
+    this engine's big groupbys are hash-partition-then-scan shaped, so the
+    global sort the default strategy performs is pure overhead.
+
+    Scoped, not global, because Ray 2.49's hash shuffle crashes when a
+    shuffled dataset contains 0-row blocks ("Invalid sort key column ... in
+    <empty schema>" from HashShuffleAggregator.finalize): only exchanges
+    whose inputs are provably non-empty (explode/fingerprint outputs after
+    a rebalancing repartition) opt in; small, possibly-empty groupbys keep
+    the robust sort strategy. Ray Datasets snapshot the DataContext at
+    creation, so wrapping dataset CONSTRUCTION is sufficient.
+    """
+    import ray
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    prev = {
+        "strategy": ctx.shuffle_strategy,
+        "aggs": ctx.max_hash_shuffle_aggregators,
+        "par": ctx.default_hash_shuffle_parallelism,
+        "op_cpu": ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+        "ag_cpu": ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override,
+    }
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # default = ~100 partitions x 0.5 CPU of aggregator-actor reservations
+    # (50 CPUs!) -> never schedules on a small session; size to the cluster
+    # and keep reservations low so aggregators pack beside our actor pools
+    ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
+    ctx.default_hash_shuffle_parallelism = max(8, 2 * cpus)
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.1
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.1
+    try:
+        yield ctx
+    finally:
+        ctx.shuffle_strategy = prev["strategy"]
+        ctx.max_hash_shuffle_aggregators = prev["aggs"]
+        ctx.default_hash_shuffle_parallelism = prev["par"]
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = prev["op_cpu"]
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = prev["ag_cpu"]

@@ -278,9 +278,12 @@ def _pairs_from_bands(bands_ds, max_block: int = 256) -> set:  # noqa: ANN001
                          "id_b": pa.array(b, pa.int64())})
 
     out = set()
+    from . import fast_shuffle
+
     # coalesce before the shuffle: sort-shuffle cost grows with block count²
-    cands = bands_ds.repartition(16).groupby("part").map_groups(
-        pairs_in_part, batch_format="pyarrow")
+    with fast_shuffle():
+        cands = bands_ds.repartition(16).groupby("part").map_groups(
+            pairs_in_part, batch_format="pyarrow")
     for t in cands.iter_batches(batch_size=65536, batch_format="pyarrow"):
         out.update(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
     return out
@@ -423,8 +426,11 @@ def simhash_dedup_clusters(sf_dir: str, max_hamming: int = 3):
         )
 
     edges = set()
-    out = rows.repartition(16).groupby("part").map_groups(
-        pairs_in_part, batch_format="pyarrow")
+    from . import fast_shuffle
+
+    with fast_shuffle():
+        out = rows.repartition(16).groupby("part").map_groups(
+            pairs_in_part, batch_format="pyarrow")
     for t in out.iter_batches(batch_size=65536, batch_format="pyarrow"):
         edges.update(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
     comp = components_from_edges(sorted(edges))

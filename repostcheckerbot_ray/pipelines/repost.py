@@ -37,7 +37,7 @@ import pyarrow.parquet as pq
 from ..functions.fingerprint import token_hash
 from ..stages.clustering import assign_clusters
 from ..stages.fingerprint_stage import FINGERPRINT_SCHEMA, FingerprintBatcher
-from ..stages.scoring_stage import dedup_edges, make_text_pair_verifier
+from ..stages.scoring_stage import TextPairVerifier, dedup_edges
 from ..state.checkpoint import StageCheckpoint, config_hash
 
 EDGES_SCHEMA = pa.schema(
@@ -61,11 +61,10 @@ class RepostConfig:
     ttl_cutoff_us: int | None = None  # admission TTL as absolute cutoff (B9)
     batch_size: int = 512
     # blocks fed into each groupby shuffle: Ray's sort-shuffle cost grows
-    # with the square of the block count, so inputs are coalesced to this
-    # many blocks first (at real scale blocks are already ~128 MiB and this
-    # becomes a no-op; it matters for small-corpus runs where map stages
-    # emit hundreds of tiny blocks)
-    shuffle_blocks: int = 16
+    # with the square of the block count, so inputs are coalesced; but too
+    # FEW blocks caps shuffle parallelism below the CPU count. None ->
+    # max(8, 2 x cluster CPUs), resolved at run time.
+    shuffle_blocks: int | None = None
     # None -> auto-size to the Ray cluster, leaving headroom for the
     # shuffle/write tasks that run concurrently (an actor pool that reserves
     # every CPU starves the downstream Sort and the pipeline stalls)
@@ -73,8 +72,17 @@ class RepostConfig:
     checkpoint: bool = True
     extra: dict = field(default_factory=dict)
 
+    # fields that tune execution but cannot change RESULTS; excluded from
+    # the checkpoint-invalidation hash so a run can resume at a different
+    # parallelism level / batch size without rescoring completed blocks
+    _TUNING_FIELDS = ("batch_size", "shuffle_blocks", "fingerprint_concurrency",
+                      "checkpoint")
+
     def hash(self) -> str:
-        return config_hash(asdict(self))
+        d = asdict(self)
+        for k in self._TUNING_FIELDS:
+            d.pop(k, None)
+        return config_hash(d)
 
 
 class _Metrics:
@@ -101,27 +109,45 @@ def _part_of_key(key: str, num_parts: int) -> int:
 
 
 def _checkpointed_stage(ds_builder, input_filter, ckpt: StageCheckpoint,
-                        schema: pa.Schema, metrics: _Metrics):  # noqa: ANN001
+                        schema: pa.Schema, metrics: _Metrics,
+                        exchange: str = "sort"):  # noqa: ANN001
     """Generic resume wrapper.
 
     ``input_filter(done_parts)`` narrows the stage input to incomplete
     partitions; ``ds_builder(filtered_input)`` computes the stage output
     WITH a ``part`` column; output groups are written atomically per part.
     Returns the stage output re-read from the checkpoint (all parts).
+
+    ``exchange="hash"`` builds + materializes the stage DAG under the
+    hash-shuffle strategy (the big exchanges); the small write-groupby that
+    follows always uses the default sort strategy, which tolerates the
+    0-row blocks a scorer legitimately emits for edge-less partitions
+    (Ray's hash shuffle does not — see pipelines.fast_shuffle).
     """
     import ray.data as rd
+
+    from . import fast_shuffle
 
     done = ckpt.completed_parts()
     metrics.add(ckpt.stage, "parts_resumed", len(done))
     if len(done) < ckpt.num_parts:
-        out = ds_builder(input_filter(done))
+        # materialize once: the emptiness check below and the groupby-write
+        # then share the computed blocks instead of re-running the builder
+        if exchange == "hash":
+            with fast_shuffle():
+                out = ds_builder(input_filter(done))
+                out = out.materialize() if out is not None else None
+        else:
+            out = ds_builder(input_filter(done))
+            out = out.materialize() if out is not None else None
         writer = ckpt.make_group_writer(schema)
-        # ensure every incomplete part commits a (possibly empty) file so
-        # resume state is unambiguous
-        written = set(
-            r["part"]
-            for r in out.groupby("part").map_groups(writer, batch_format="pyarrow").take_all()
-        )
+        written: set[int] = set()
+        if out is not None and out.count() > 0:
+            written = set(
+                r["part"]
+                for r in out.groupby("part").map_groups(
+                    writer, batch_format="pyarrow").take_all()
+            )
         empty_parts = [p for p in range(ckpt.num_parts) if p not in done and p not in written]
         for p in empty_parts:
             ckpt.write_part(p, schema.empty_table())
@@ -131,17 +157,6 @@ def _checkpointed_stage(ds_builder, input_filter, ckpt: StageCheckpoint,
     if not nonempty:
         return rd.from_arrow(schema.empty_table())
     return rd.read_parquet(nonempty)
-
-
-def _add_part_from(col: str, num_parts: int):
-    def add(batch: pa.Table) -> pa.Table:
-        parts = [_part_of_key(v, num_parts) for v in
-                 (str(x) for x in batch[col].to_pylist())]
-        if "part" in batch.column_names:
-            batch = batch.drop_columns(["part"])
-        return batch.append_column("part", pa.array(parts, pa.int32()))
-
-    return add
 
 
 def _drop_parts_filter(col: str, num_parts: int, done: set[int]):
@@ -166,10 +181,18 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     import ray
     import ray.data as rd
 
+    import time as _time
+
     cfg = cfg or RepostConfig()
     h = cfg.hash()
     metrics = _Metrics()
     os.makedirs(out_dir, exist_ok=True)
+    _t_last = [_time.perf_counter()]
+
+    def _mark(stage: str) -> None:
+        now = _time.perf_counter()
+        metrics.add(stage, "wall_ms", int((now - _t_last[0]) * 1000))
+        _t_last[0] = now
 
     pages = pages_path if hasattr(pages_path, "map_batches") else rd.read_parquet(pages_path)
 
@@ -190,10 +213,13 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
             batch_format="pyarrow", zero_copy_batch=True,
         )
 
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    if cfg.shuffle_blocks is None:
+        cfg = RepostConfig(**{**asdict(cfg), "shuffle_blocks": max(8, 2 * cpus)})
     fp_concurrency = cfg.fingerprint_concurrency
     if fp_concurrency is None:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        fp_concurrency = max(1, cpus - max(2, cpus // 4))
+        # leave room for shuffle aggregator actors + read/write tasks
+        fp_concurrency = max(1, cpus - max(3, cpus // 4))
 
     def fp_builder(src):  # noqa: ANN001
         return src.map_batches(
@@ -224,8 +250,9 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
 
     fp_ckpt.__class__ = _FpCheckpoint
     fingerprints = _checkpointed_stage(fp_builder, fp_input_filter, fp_ckpt,
-                                       fp_schema, metrics)
+                                       fp_schema, metrics, exchange="hash")
     fp_ckpt.write_lineage(out_dir, {"input": str(pages_path)})
+    _mark("fingerprints")
 
     # --- Stage 2: unified edge exchange (D2+D3+F2+F3 in ONE shuffle) --------
     # All modalities explode into one kind-salted block-row relation; a
@@ -254,8 +281,9 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
             make_part_scorer(cfg.threshold, cfg.max_block), batch_format="pyarrow")
 
     edges_raw = _checkpointed_stage(ed_builder, ed_filter, ed_ckpt,
-                                    edges_schema, metrics)
+                                    edges_schema, metrics, exchange="hash")
     ed_ckpt.write_lineage(out_dir, {})
+    _mark("edges_raw")
 
     # --- Stage 2b: text candidate verification (broadcast pass, D3/F1) -----
     tv_ckpt = StageCheckpoint(out_dir, "edges_text", h, cfg.num_parts)
@@ -277,18 +305,18 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         # count cap sentinels. Candidates << corpus by construction — the
         # same assumption as the broadcast text lookup below.
         pair_part: dict[tuple[str, str], int] = {}
-        capped = 0
+        salted_blocks = 0
         for b in cands.iter_batches(batch_size=65536, batch_format="pyarrow"):
             for a, bb, p in zip(b["url_a"].to_pylist(), b["url_b"].to_pylist(),
                                 b["part"].to_pylist()):
-                if a == "_capped_block":
-                    capped += int(bb)
+                if a == "_salted_block":
+                    salted_blocks += 1
                     continue
                 k = (a, bb)
                 cur = pair_part.get(k)
                 if cur is None or p < cur:
                     pair_part[k] = p
-        metrics.add("edges_text", "capped_candidates_dropped", capped)
+        metrics.add("edges_text", "salted_hot_bands", salted_blocks)
         metrics.add("edges_text", "candidate_pairs", len(pair_part))
         if not pair_part:
             return rd.from_arrow(edges_schema.empty_table())
@@ -308,9 +336,13 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         # SequenceMatcher is the per-pair hot loop: spread pairs across the
         # cluster (from_arrow yields ONE block otherwise -> serial verify)
         pairs_ds = rd.from_arrow(pairs_tbl).repartition(cfg.shuffle_blocks)
+        cpus = int(ray.cluster_resources().get("CPU", 4))
         verified = pairs_ds.map_batches(
-            make_text_pair_verifier(texts_ref, cfg.threshold),
+            TextPairVerifier,
+            fn_constructor_args=(texts_ref, cfg.threshold),
             batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=1024,
+            concurrency=(1, max(2, cpus - 2)),
         )
         part_ref = ray.put(pair_part)
 
@@ -325,6 +357,7 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     text_edges = _checkpointed_stage(tv_builder, tv_filter, tv_ckpt,
                                      edges_schema, metrics)
     tv_ckpt.write_lineage(out_dir, {})
+    _mark("edges_text")
 
     direct_edges = edges_raw.map_batches(
         lambda t: t.filter(pc.not_equal(t["kind"], "tcand")),
@@ -332,13 +365,19 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     )
 
     # --- Stage 3: union + edge dedup (D4) -----------------------------------
+    import ray.data as rd
+
     all_edges = direct_edges.union(text_edges)
     all_edges = all_edges.select_columns(["url_a", "url_b", "score", "kind"])
-    edges = dedup_edges(all_edges.repartition(max(2, cfg.shuffle_blocks // 2)))
+    if all_edges.count() == 0:  # hash-shuffle groupby crashes on empty input
+        edges = rd.from_arrow(EDGES_SCHEMA.empty_table())
+    else:
+        edges = dedup_edges(all_edges.repartition(max(2, cfg.shuffle_blocks // 2)))
 
     # --- Stage 4: clusters (E4) ---------------------------------------------
     import ray.data as rd
 
+    _mark("edge_dedup_build")
     if write_outputs:
         import shutil
 
@@ -349,22 +388,46 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         shutil.rmtree(edges_dir, ignore_errors=True)
         edges.write_parquet(edges_dir)
         edges = rd.read_parquet(edges_dir)
+        _mark("edges_write")
         clusters = assign_clusters(fingerprints, edges)
+        _mark("clusters_build")
         clusters_dir = os.path.join(out_dir, "clusters")
         shutil.rmtree(clusters_dir, ignore_errors=True)
         clusters.write_parquet(clusters_dir)
         clusters = rd.read_parquet(clusters_dir)
+        _mark("clusters_write")
         pq.write_table(metrics.table(), os.path.join(out_dir, "metrics.parquet"))
-        # A8 report sink: small driver-side render of the top clusters
-        # (non-singleton clusters + edges are tiny relative to the corpus)
+        # A8 report sink: pick the top-k cluster ids with a distributed
+        # aggregate first, then pull ONLY those clusters' member rows to the
+        # driver (edges are small relative to the corpus)
+        from ray.data.aggregate import Max
+
         from ..functions.report import render_cluster_report
 
-        cl_small = clusters.map_batches(
-            lambda t: t.filter(pc.greater(t["cluster_size"], 1)),
-            batch_format="pyarrow",
-        ).to_pandas()
+        if edges.count() > 0:
+            top = (
+                clusters.map_batches(
+                    lambda t: t.select(["cluster_id", "cluster_size"]).filter(
+                        pc.greater(t["cluster_size"], 1)),
+                    batch_format="pyarrow",
+                )
+                .groupby("cluster_id").aggregate(Max("cluster_size", alias_name="sz"))
+                .sort("sz", descending=True).limit(20)
+            )
+            top_ids = set(top.to_pandas()["cluster_id"])
+        else:
+            top_ids = set()
+        ids_ref = ray.put(frozenset(top_ids))
+
+        def top_members(t: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)
+            return t.filter(pa.array([c in want for c in t["cluster_id"].to_pylist()]))
+
+        cl_small = clusters.map_batches(top_members, batch_format="pyarrow").to_pandas()
         with open(os.path.join(out_dir, "report.md"), "w") as f:
             f.write(render_cluster_report(cl_small, edges.to_pandas()))
+        _mark("report")
+        pq.write_table(metrics.table(), os.path.join(out_dir, "metrics.parquet"))
     else:
         clusters = assign_clusters(fingerprints, edges)
 

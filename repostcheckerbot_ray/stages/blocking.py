@@ -192,7 +192,8 @@ BLOCK_ROW_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("kind", pa.string()),
         ("band_key", pa.uint64()),
-        ("content_hash", pa.string()),
+        ("content_hash", pa.string()),   # full hash — "e" rows only
+        ("chash64", pa.uint64()),        # 64-bit fold — dedup key on "t" rows
         ("simhash", pa.uint64()),
         ("text_len", pa.uint32()),
         ("payload_hash", pa.uint64()),
@@ -223,7 +224,7 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
     def salted_vec(kind: str, vals: np.ndarray) -> np.ndarray:
         return _splitmix64(vals.astype(np.uint64) ^ _KIND_SALT[kind])
 
-    def _subtable(urls, kind, band, ch=None, sim=None, tl=None, ph=None, ck=None):  # noqa: ANN001
+    def _subtable(urls, kind, band, ch=None, ch64=None, sim=None, tl=None, ph=None, ck=None):  # noqa: ANN001
         n = len(band)
         return pa.table(
             {
@@ -231,6 +232,7 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
                 "kind": pa.array([kind] * n, pa.string()),
                 "band_key": pa.array(band),
                 "content_hash": ch if ch is not None else pa.array([""] * n, pa.string()),
+                "chash64": pa.array(ch64 if ch64 is not None else np.zeros(n, np.uint64)),
                 "simhash": pa.array(sim if sim is not None else np.zeros(n, np.uint64)),
                 "text_len": pa.array(tl if tl is not None else np.zeros(n, np.uint32)),
                 "payload_hash": pa.array(ph if ph is not None else np.zeros(n, np.uint64)),
@@ -248,9 +250,10 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
         # (equality re-checked inside the group, so a collision only costs a
         # wasted compare)
         chl = batch["content_hash"].to_pylist()
-        e_band = salted_vec("e", np.array([int(c[:16], 16) for c in chl],
-                                          dtype=np.uint64))
-        out.append(_subtable(batch["url"], "e", e_band, ch=batch["content_hash"]))
+        ch64_all = np.array([int(c[:16], 16) for c in chl], dtype=np.uint64)
+        e_band = salted_vec("e", ch64_all)
+        out.append(_subtable(batch["url"], "e", e_band, ch=batch["content_hash"],
+                             ch64=ch64_all))
 
         # text rows — NUM_BANDS per doc, fully vectorized
         t_mask = pa.array(mods == "text")
@@ -260,11 +263,13 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
             counts = bands.value_lengths().to_numpy(zero_copy_only=False)
             flat = bands.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
             idx = pa.array(np.repeat(np.arange(t.num_rows), counts))
+            rep_idx = np.repeat(np.arange(t.num_rows), counts)
+            t_mask_np = mods == "text"
             out.append(_subtable(
                 t["url"].take(idx), "t", salted_vec("t", flat),
-                ch=t["content_hash"].take(idx),
-                sim=t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)[np.repeat(np.arange(t.num_rows), counts)],
-                tl=t["text_len"].to_numpy(zero_copy_only=False).astype(np.uint32)[np.repeat(np.arange(t.num_rows), counts)],
+                ch64=ch64_all[t_mask_np][rep_idx],
+                sim=t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)[rep_idx],
+                tl=t["text_len"].to_numpy(zero_copy_only=False).astype(np.uint32)[rep_idx],
             ))
 
         # payload rows — PAYLOAD_BANDS per doc, vectorized per band index

@@ -91,29 +91,44 @@ def cluster_meta(fingerprints_ds, comp: dict) -> dict:  # noqa: ANN001
     O(corpus)."""
     import ray
 
-    members_ref = ray.put(frozenset(comp))
+    from ray.data.aggregate import Count, Min
 
-    def member_filter(batch: pa.Table) -> pa.Table:
-        members = ray.get(members_ref)
-        mask = pa.array([u in members for u in batch["url"].to_pylist()])
-        return batch.select(["url", "warc_ts"]).filter(mask)
+    if not comp:  # no edges -> all singletons (and empty-input groupby is
+        return {}  # a hash-shuffle crash)
+    comp_ref = ray.put(comp)
 
-    small = fingerprints_ds.map_batches(
-        member_filter, batch_format="pyarrow", zero_copy_batch=True,
+    class MemberProject:
+        """Filter to cluster members and project (cluster_id, ts) — the
+        min/count aggregation itself runs as a distributed groupby over the
+        member rows, so the driver only receives one row per cluster."""
+
+        def __init__(self, ref) -> None:  # noqa: ANN001
+            self._comp = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cids = [self._comp.get(u) for u in batch["url"].to_pylist()]
+            mask = pa.array([c is not None for c in cids])
+            t = pa.table(
+                {
+                    "cluster_id": pa.array(
+                        [c for c in cids if c is not None], pa.string()),
+                    "ts": batch["warc_ts"].cast(pa.int64()).filter(mask),
+                }
+            )
+            return t
+
+    rows = fingerprints_ds.map_batches(
+        MemberProject, fn_constructor_args=(comp_ref,),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
     )
-    meta: dict[str, list] = {}
-    for batch in small.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        ts = batch["warc_ts"].cast(pa.int64()).to_pylist()
-        for u, t in zip(batch["url"].to_pylist(), ts):
-            cid = comp.get(u, u)
-            cur = meta.get(cid)
-            if cur is None:
-                meta[cid] = [t, 1]
-            else:
-                if t < cur[0]:
-                    cur[0] = t
-                cur[1] += 1
-    return {k: (v[0], v[1]) for k, v in meta.items()}
+    agg = rows.groupby("cluster_id").aggregate(
+        Min("ts", alias_name="min_ts"), Count(alias_name="n"))
+    meta: dict[str, tuple[int, int]] = {}
+    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for cid, mt, n in zip(b["cluster_id"].to_pylist(),
+                              b["min_ts"].to_pylist(), b["n"].to_pylist()):
+            meta[cid] = (mt, n)
+    return meta
 
 
 def assign_clusters(fingerprints_ds, edges_ds):  # noqa: ANN001

@@ -23,9 +23,10 @@ Text verification is two-phase because band rows are *light* (no text):
    no broadcast; the pipeline records candidate counts in metrics so the
    assumption is observable.
 
-Oversized fuzzy blocks (after representative dedup) are capped
-deterministically (sort by url, keep first ``max_block``) and the drop is
-reported as a ``_capped_block`` sentinel row → metrics, never silent.
+Oversized fuzzy blocks (after representative dedup) are SALTED: scored in
+deterministic shards of ``max_block`` (cost O(n·max_block), recall recovered
+through the other 31 bands + transitive closure) and surfaced as a
+``_salted_block`` sentinel row → metrics, never silent.
 """
 
 from __future__ import annotations
@@ -38,6 +39,7 @@ from ..functions.scoring import (
     hamming64_matrix,
     hamming_pct,
     chunk_list_distance,
+    popcount64,
     ratio_upper_bound,
     seq_ratio,
 )
@@ -70,38 +72,45 @@ def make_text_candidate_scorer(thresh: float = DEFAULT_THRESHOLD, max_block: int
             if j is None or urls[i] < urls[j]:
                 rep[chash[i]] = i
         idx = sorted(rep.values(), key=lambda i: urls[i])
-        capped = 0
-        if len(idx) > max_block:
-            capped = len(idx) - max_block
-            idx = idx[:max_block]
-        m = len(idx)
-        if m < 2:
-            return _cap_row(capped) if capped else _empty_candidates()
 
-        sub_sim = sim[idx]
-        sub_len = tlen[idx]
-        # vectorized prefilters over the m×m pair matrix
-        ham = hamming64_matrix(sub_sim, sub_sim)
-        la = sub_len[:, None].astype(np.float64)
-        lb = sub_len[None, :].astype(np.float64)
-        tot = la + lb
-        ub = np.where(tot > 0, 2.0 * np.minimum(la, lb) / np.maximum(tot, 1e-9), 1.0)
-        ok = (ham <= SIMHASH_PREFILTER_BITS) & (ub > min_ratio)
-        ai, bi = np.nonzero(np.triu(ok, k=1))
-        if len(ai) == 0:
-            return _cap_row(capped) if capped else _empty_candidates()
-        ua = [urls[idx[i]] for i in ai]
-        ub_ = [urls[idx[i]] for i in bi]
-        url_a = [min(a, b) for a, b in zip(ua, ub_)]
-        url_b = [max(a, b) for a, b in zip(ua, ub_)]
+        # HOT-BAND SALTING (north rule, SURVEY.md §4 skew row): a band whose
+        # distinct-content membership exceeds max_block is scored in salted
+        # shards of max_block — cost becomes O(n·max_block) instead of
+        # O(n²), bounded and linear in the hot band's size. Cross-shard
+        # pairs in THIS band may be skipped, but every true near-dup pair
+        # shares ~all of its 32 bands, so another (non-hot or
+        # differently-sharded) band recovers it, and union-find closes the
+        # cluster transitively. Salted bands are surfaced via a metric row.
+        shards = [idx[i:i + max_block] for i in range(0, len(idx), max_block)]
+        salted = len(shards) > 1
+
+        url_a_all, url_b_all = [], []
+        for shard in shards:
+            m = len(shard)
+            if m < 2:
+                continue
+            sub_sim = sim[shard]
+            sub_len = tlen[shard]
+            # vectorized prefilters over the m×m pair matrix
+            ham = hamming64_matrix(sub_sim, sub_sim)
+            la = sub_len[:, None].astype(np.float64)
+            lb = sub_len[None, :].astype(np.float64)
+            tot = la + lb
+            ub = np.where(tot > 0, 2.0 * np.minimum(la, lb) / np.maximum(tot, 1e-9), 1.0)
+            ok = (ham <= SIMHASH_PREFILTER_BITS) & (ub > min_ratio)
+            ai, bi = np.nonzero(np.triu(ok, k=1))
+            for i, j in zip(ai, bi):
+                ua, ub_ = urls[shard[i]], urls[shard[j]]
+                url_a_all.append(min(ua, ub_))
+                url_b_all.append(max(ua, ub_))
         out = pa.table(
             {
-                "url_a": pa.array(url_a, pa.string()),
-                "url_b": pa.array(url_b, pa.string()),
+                "url_a": pa.array(url_a_all, pa.string()),
+                "url_b": pa.array(url_b_all, pa.string()),
             }
         )
-        if capped:
-            out = pa.concat_tables([out, _cap_row(capped)])
+        if salted:
+            out = pa.concat_tables([out, _salt_row(len(shards))])
         return out
 
     return score_group
@@ -111,26 +120,32 @@ def _empty_candidates() -> pa.Table:
     return pa.table({"url_a": pa.array([], pa.string()), "url_b": pa.array([], pa.string())})
 
 
-def _cap_row(n_dropped: int) -> pa.Table:
+def _salt_row(n_shards: int) -> pa.Table:
     """Sentinel row surfaced into metrics by the pipeline (never silent)."""
     return pa.table(
         {
-            "url_a": pa.array(["_capped_block"], pa.string()),
-            "url_b": pa.array([str(n_dropped)], pa.string()),
+            "url_a": pa.array(["_salted_block"], pa.string()),
+            "url_b": pa.array([str(n_shards)], pa.string()),
         }
     )
 
 
-def make_text_pair_verifier(texts_ref, thresh: float = DEFAULT_THRESHOLD):  # noqa: ANN001
-    """Stateless verifier task: the text lookup is a driver-side ``ray.put``
-    fetched zero-copy-ish from the local object store per batch (plain task,
-    no actor-pool startup cost; the dict fetch is tiny next to
-    SequenceMatcher work)."""
+class TextPairVerifier:
+    """Actor-pool verifier: the broadcast text lookup (driver-side
+    ``ray.put``) is fetched and deserialized ONCE per actor in ``__init__``
+    — at bench scale the lookup is hundreds of MB, so a per-batch
+    ``ray.get`` in a stateless task would pay that deserialization on every
+    batch. SequenceMatcher (the F1 hot loop) runs per pair."""
 
-    def verify(batch: pa.Table) -> pa.Table:
+    def __init__(self, texts_ref, thresh: float = DEFAULT_THRESHOLD) -> None:  # noqa: ANN001
         import ray
 
-        t: dict[str, str] = ray.get(texts_ref)
+        self._texts: dict[str, str] = ray.get(texts_ref)
+        self._thresh = thresh
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self._texts
+        thresh = self._thresh
         ua = batch["url_a"].to_pylist()
         ub = batch["url_b"].to_pylist()
         out_a, out_b, scores = [], [], []
@@ -151,8 +166,6 @@ def make_text_pair_verifier(texts_ref, thresh: float = DEFAULT_THRESHOLD):  # no
                 "kind": pa.array(["text"] * len(out_a), pa.string()),
             }
         )
-
-    return verify
 
 
 def make_payload_scorer(thresh: float = DEFAULT_THRESHOLD):
@@ -249,17 +262,35 @@ def _empty_edge_table() -> pa.Table:
     )
 
 
-def dedup_edges(edges_ds):  # noqa: ANN001
+def dedup_edges(edges_ds, num_parts: int = 16):  # noqa: ANN001
     """D4: keep the max-score edge per (url_a, url_b) pair — exact (100)
     dominates fuzzy, mirroring the reference's skip-if-exactly-matched
-    (database.py:393 et al.)."""
+    (database.py:393 et al.).
+
+    Implementation: hash-partition by pair key (few large groups), then one
+    pandas sort + drop_duplicates per group — grouping by the raw pair key
+    would dispatch Python once per pair."""
+    from ..functions.fingerprint import token_hash
+
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        parts = [token_hash(a + "\x00" + b) % num_parts
+                 for a, b in zip(batch["url_a"].to_pylist(),
+                                 batch["url_b"].to_pylist())]
+        if "part" in batch.column_names:
+            batch = batch.drop_columns(["part"])
+        return batch.append_column("pair_part", pa.array(parts, pa.int32()))
 
     def keep_max(group: pa.Table) -> pa.Table:
-        if group.num_rows == 1:
-            return group
-        return group.sort_by([("score", "descending"), ("kind", "ascending")]).slice(0, 1)
+        df = group.to_pandas()
+        df = df.sort_values(["url_a", "url_b", "score", "kind"],
+                            ascending=[True, True, False, True])
+        df = df.drop_duplicates(["url_a", "url_b"], keep="first")
+        return pa.Table.from_pandas(df.drop(columns=["pair_part"]),
+                                    preserve_index=False)
 
-    return edges_ds.groupby(["url_a", "url_b"]).map_groups(keep_max, batch_format="pyarrow")
+    tagged = edges_ds.map_batches(add_pair_part, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return tagged.groupby("pair_part").map_groups(keep_max, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -320,29 +351,158 @@ def make_unified_scorer(thresh: float = DEFAULT_THRESHOLD,
 
 def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
                      max_block: int = DEFAULT_MAX_BLOCK):
-    """Whole-partition scorer: one group per PART (hash of band_key), inside
-    which sorted band-key runs are scanned with numpy boundary detection and
-    only multi-occupancy bands reach the per-kind scorer. This turns
-    millions of per-band dispatches into a tight per-part loop."""
+    """Whole-partition scorer, vectorized across runs.
+
+    One group per PART (band_key % P). Rows are sorted by (band_key,
+    content_hash, url); band runs are found with one numpy boundary scan,
+    and then ALL pair work is batched by kind instead of dispatching per
+    run (a duplicate-heavy corpus has ~32 tiny runs per duplicate family —
+    per-run Table slicing used to dominate the stage):
+
+    - exact runs: consecutive (band_key, content_hash) sub-runs -> star
+      edges, built from run offsets;
+    - text runs: representative dedup is a consecutive-unique pass (sorted
+      by content_hash, min url first); within-run pair indices come from
+      cached triu templates, then ONE vectorized simhash-Hamming +
+      length-bound prefilter over all pairs of the part; oversized runs are
+      salted into max_block shards (north-rule skew handling) with a
+      sentinel metric row;
+    - payload runs: same template pair generation, one vectorized Hamming
+      pass, edges below threshold;
+    - chunked runs (rare): per-run F3 scorer.
+    """
     unified = make_unified_scorer(thresh, max_block)
+    min_ratio = 1.0 - thresh / 10.0
 
     def score_part(group: pa.Table) -> pa.Table:
         part = group["part"][0].as_py()
-        g = group.sort_by([("band_key", "ascending"), ("url", "ascending")])
+        g = group.sort_by([("band_key", "ascending"), ("chash64", "ascending"),
+                           ("content_hash", "ascending"), ("url", "ascending")])
         bk = g["band_key"].to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
-        ends = np.r_[starts[1:], len(bk)]
-        outs = []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
+        kinds = g["kind"].to_pylist()
+        ch = g["content_hash"].to_pylist()
+        ch64 = g["chash64"].to_numpy(zero_copy_only=False)
+        urls = g["url"].to_pylist()
+        sim = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tlen = g["text_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ph = g["payload_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+
+        run_start = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        run_end = np.r_[run_start[1:], len(bk)]
+
+        tmpl: dict[int, tuple] = {}
+
+        def triu(L: int) -> tuple:
+            t = tmpl.get(L)
+            if t is None:
+                t = np.triu_indices(L, k=1)
+                tmpl[L] = t
+            return t
+
+        tables = []
+        ea, eb = [], []                      # exact star edges
+        ti_list, tj_list = [], []            # text candidate index pairs
+        pi_list, pj_list = [], []            # payload index pairs
+        salted = 0
+        for s_, e_ in zip(run_start, run_end):
+            L = int(e_ - s_)
+            if L < 2:
                 continue
-            res = unified(g.slice(s, e - s))
-            if res.num_rows:
-                outs.append(res)
-        if not outs:
+            k = kinds[s_]
+            if k == "e":
+                i = s_
+                while i < e_:
+                    j = i + 1
+                    while j < e_ and ch[j] == ch[i]:
+                        j += 1
+                    if j - i >= 2:  # urls already sorted within the sub-run
+                        ea.extend([urls[i]] * (j - i - 1))
+                        eb.extend(urls[i + 1:j])
+                    i = j
+            elif k == "t":
+                # representative per content (64-bit fold) = first (min url)
+                # in the sorted run; a fold collision can only drop a
+                # would-be candidate pair, never corrupt output
+                reps = [i for i in range(s_, e_) if i == s_ or ch64[i] != ch64[i - 1]]
+                if len(reps) > max_block:
+                    salted += 1
+                for off in range(0, len(reps), max_block):
+                    shard = np.asarray(reps[off:off + max_block], dtype=np.int64)
+                    if len(shard) < 2:
+                        continue
+                    a, b = triu(len(shard))
+                    ti_list.append(shard[a])
+                    tj_list.append(shard[b])
+            elif k == "p":
+                idx = np.arange(s_, e_, dtype=np.int64)
+                a, b = triu(L)
+                pi_list.append(idx[a])
+                pj_list.append(idx[b])
+            else:  # "c" — rare modality, per-run scorer is fine
+                res = unified(g.slice(s_, L))
+                if res.num_rows:
+                    tables.append(res)
+
+        if ea:
+            tables.append(pa.table(
+                {
+                    "url_a": pa.array(ea, pa.string()),
+                    "url_b": pa.array(eb, pa.string()),
+                    "score": pa.array([100.0] * len(ea), pa.float64()),
+                    "kind": pa.array(["exact"] * len(ea), pa.string()),
+                }
+            ))
+        if ti_list:
+            I = np.concatenate(ti_list)
+            J = np.concatenate(tj_list)
+            hm = popcount64(sim[I] ^ sim[J])
+            la = tlen[I].astype(np.float64)
+            lb = tlen[J].astype(np.float64)
+            tot = np.maximum(la + lb, 1e-9)
+            ub = 2.0 * np.minimum(la, lb) / tot
+            keep = (hm <= SIMHASH_PREFILTER_BITS) & (ub > min_ratio)
+            out_a, out_b = [], []
+            for i, j in zip(I[keep], J[keep]):
+                a, b = urls[i], urls[j]
+                out_a.append(a if a < b else b)
+                out_b.append(b if a < b else a)
+            if salted:
+                out_a.append("_salted_block")
+                out_b.append(str(salted))
+            if out_a:
+                tables.append(pa.table(
+                    {
+                        "url_a": pa.array(out_a, pa.string()),
+                        "url_b": pa.array(out_b, pa.string()),
+                        "score": pa.array([-1.0] * len(out_a), pa.float64()),
+                        "kind": pa.array(["tcand"] * len(out_a), pa.string()),
+                    }
+                ))
+        if pi_list:
+            I = np.concatenate(pi_list)
+            J = np.concatenate(pj_list)
+            d = popcount64(ph[I] ^ ph[J]).astype(np.float64)
+            keep = d < thresh
+            out_a, out_b, sc = [], [], []
+            for i, j, dv in zip(I[keep], J[keep], d[keep]):
+                a, b = urls[i], urls[j]
+                out_a.append(a if a < b else b)
+                out_b.append(b if a < b else a)
+                sc.append(hamming_pct(dv, thresh))
+            if out_a:
+                tables.append(pa.table(
+                    {
+                        "url_a": pa.array(out_a, pa.string()),
+                        "url_b": pa.array(out_b, pa.string()),
+                        "score": pa.array(sc, pa.float64()),
+                        "kind": pa.array(["payload"] * len(out_a), pa.string()),
+                    }
+                ))
+
+        if not tables:
             empty = _empty_edge_table()
             return empty.append_column("part", pa.array([], pa.int32()))
-        merged = pa.concat_tables(outs)
+        merged = pa.concat_tables(tables)
         return merged.append_column(
             "part", pa.array([part] * merged.num_rows, pa.int32()))
 

@@ -74,38 +74,44 @@ def components_from_edges(edges) -> dict:  # noqa: ANN001
 
 def label_propagation_components(edges_ds, max_iters: int = 50):  # noqa: ANN001
     """Distributed connected components over an edges Dataset(url_a, url_b)
-    via iterative min-label propagation (each round: every node adopts the
+    via iterative min-label propagation (each round every node adopts the
     min label among itself and its neighbors; converges in O(diameter)
     rounds — duplicate clusters are near-cliques, so 2-3 rounds typical).
 
-    Each round is one groupby shuffle over the (small) edge-node relation,
-    not the corpus. Returns a Dataset(url, cluster_id).
+    Each round is one padded-union hash join + groupby over the (small)
+    edge-node relation, not the corpus. Returns a Dataset(url, cluster_id).
+    The driver-side ``components_from_edges`` is preferred while edges fit
+    one node; this is the documented beyond-one-node fallback.
     """
     import pandas as pd
-    import ray.data  # noqa: F401  (Dataset ops on the argument)
 
-    def to_labels(batch: pd.DataFrame) -> pd.DataFrame:
-        # node -> candidate label rows in both directions + self
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        # initial candidates: self and both neighbors
         return pd.DataFrame(
             {
-                "url": pd.concat([batch["url_a"], batch["url_b"], batch["url_a"], batch["url_b"]]),
-                "label": pd.concat([batch["url_b"], batch["url_a"], batch["url_a"], batch["url_b"]]),
+                "url": pd.concat([b["url_a"], b["url_b"], b["url_a"], b["url_b"]]),
+                "label": pd.concat([b["url_b"], b["url_a"], b["url_a"], b["url_b"]]),
             }
         )
 
-    labels = edges_ds.map_batches(to_labels, batch_format="pandas")
-    labels = labels.groupby("url").map_groups(
-        lambda g: pd.DataFrame({"url": [g["url"].iloc[0]], "label": [g["label"].min()]}),
-        batch_format="pandas",
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"url": [g["url"].iloc[0]], "label": [g["label"].min()]})
+
+    labels = (
+        edges_ds.map_batches(explode, batch_format="pandas")
+        .groupby("url").map_groups(min_label, batch_format="pandas")
+        .materialize()
     )
-    edges = edges_ds
     for _ in range(max_iters):
-        # join node labels back onto edges through a union+groupby exchange,
-        # then recompute per-node min over neighbor labels.
+        # join each edge endpoint with its current label, then spread that
+        # label to the other endpoint; union with current labels; take min
         lab_a = labels.map_batches(
-            lambda g: g.rename(columns={"url": "url_a", "label": "label_a"}), batch_format="pandas"
+            lambda b: b.rename(columns={"url": "url_a", "label": "label_a"}),
+            batch_format="pandas",
         )
-        merged = _hash_join(edges, lab_a, "url_a")
+        merged = _hash_join(edges_ds, lab_a, "url_a",
+                            left_cols=["url_a", "url_b"],
+                            right_cols=["url_a", "label_a"])
 
         def spread(b: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame(
@@ -117,43 +123,44 @@ def label_propagation_components(edges_ds, max_iters: int = 50):  # noqa: ANN001
 
         cand = merged.map_batches(spread, batch_format="pandas").union(labels)
         new_labels = cand.groupby("url").map_groups(
-            lambda g: pd.DataFrame({"url": [g["url"].iloc[0]], "label": [g["label"].min()]}),
-            batch_format="pandas",
-        ).materialize()
-        # convergence: total label mass stable -> stop (labels only decrease)
-        old_sig = labels.materialize().to_pandas().sort_values("url").reset_index(drop=True)
-        new_sig = new_labels.to_pandas().sort_values("url").reset_index(drop=True)
+            min_label, batch_format="pandas").materialize()
+        old = labels.to_pandas().sort_values("url").reset_index(drop=True)
+        new = new_labels.to_pandas().sort_values("url").reset_index(drop=True)
         labels = new_labels
-        if old_sig.equals(new_sig):
+        if old.equals(new):  # labels only decrease -> fixed point reached
             break
     return labels.map_batches(
-        lambda g: g.rename(columns={"label": "cluster_id"}), batch_format="pandas"
+        lambda b: b.rename(columns={"label": "cluster_id"}), batch_format="pandas"
     )
 
 
-def _hash_join(left_ds, right_ds, key):  # noqa: ANN001
-    """Small partitioned hash join: tag + union + groupby(key) + pandas merge
-    per group. Used only on the edge-sized relations inside label
-    propagation."""
+def _hash_join(left_ds, right_ds, key, left_cols, right_cols):  # noqa: ANN001
+    """Small partitioned hash join: null-pad both sides to a common schema,
+    tag, union, groupby(key), pandas merge per group. Used only on the
+    edge-sized relations inside label propagation (a Dataset.union requires
+    matching schemas — padding makes that explicit)."""
     import pandas as pd
 
-    def tag(val):  # noqa: ANN001
+    all_cols = list(dict.fromkeys(left_cols + right_cols))
+
+    def pad(side, present):  # noqa: ANN001
         def fn(b: pd.DataFrame) -> pd.DataFrame:
             b = b.copy()
-            b["__side"] = val
-            return b
+            for c in all_cols:
+                if c not in b.columns:
+                    b[c] = None
+            b["__side"] = side
+            return b[all_cols + ["__side"]]
 
         return fn
 
-    both = left_ds.map_batches(tag(0), batch_format="pandas").union(
-        right_ds.map_batches(tag(1), batch_format="pandas")
+    both = left_ds.map_batches(pad(0, left_cols), batch_format="pandas").union(
+        right_ds.map_batches(pad(1, right_cols), batch_format="pandas")
     )
 
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == 0].drop(columns="__side")
-        r = g[g["__side"] == 1].drop(columns="__side")
-        if len(l) == 0 or len(r) == 0:
-            return l.iloc[0:0].merge(r.iloc[0:0], on=key)
+        l = g[g["__side"] == 0][left_cols]
+        r = g[g["__side"] == 1][right_cols]
         return l.merge(r, on=key)
 
     return both.groupby(key).map_groups(join_group, batch_format="pandas")
