@@ -59,6 +59,8 @@ class FixtureSpec:
     n_url_dups: int = 4             # extra rows duplicating an existing url
     n_url_fallback: int = 6         # no text, no payload url -> url modality
     langs: tuple = ("en", "de", "fr", "es")
+    lo_tokens: int = 50     # doc length range; bench uses longer, more
+    hi_tokens: int = 300    # Common-Crawl-like pages
     # fast=True skips the per-edit SequenceMatcher verification during
     # generation (bench-scale corpora; 1-3 substitutions of a 50-300 token
     # doc are provably within the ratio threshold anyway) and emits no
@@ -188,7 +190,7 @@ def generate(spec: FixtureSpec | None = None) -> Fixture:
     # --- text families: original + exact + whitespace + near -------------
     for f in range(spec.n_text_families):
         lang = spec.langs[f % len(spec.langs)]
-        base = _text(rng, vocab)
+        base = _text(rng, vocab, spec.lo_tokens, spec.hi_tokens)
         members = []
         u0 = add_row(f"https://sitet{f}.example/orig", base, _make_html(base), lang)
         members.append(u0)
@@ -221,7 +223,7 @@ def generate(spec: FixtureSpec | None = None) -> Fixture:
     # --- negatives (singletons) ------------------------------------------
     neg_urls = []
     for f in range(spec.n_negatives):
-        t = _text(rng, vocab)
+        t = _text(rng, vocab, spec.lo_tokens, spec.hi_tokens)
         neg_urls.append(
             add_row(f"https://siten{f}.example/doc", t if f % 3 else None, _make_html(t), spec.langs[f % 4])
         )
@@ -346,5 +348,7 @@ def bench_spec(scale: int = 1, seed: int = 42) -> FixtureSpec:
         n_ttl_expired=20,
         n_url_dups=40,
         n_url_fallback=20,
+        lo_tokens=100,
+        hi_tokens=500,
         fast=True,
     )

@@ -51,3 +51,23 @@ def fast_shuffle():
         ctx.default_hash_shuffle_parallelism = prev["par"]
         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = prev["op_cpu"]
         ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = prev["ag_cpu"]
+
+
+def _pin_arrow_threads() -> None:
+    """Limit pyarrow's internal thread pool inside Ray workers.
+
+    Every worker process defaults to a hardware-width Arrow thread pool, so
+    N workers × N-thread kernels (sort_by, take, parquet codec) oversubscribe
+    the node quadratically — measured as a 32-CPU run landing SLOWER than an
+    8-CPU run on the same input. One compute thread per worker restores
+    linear scaling; Ray already pins OMP/BLAS similarly.
+    """
+    import pyarrow as _pa
+
+    try:
+        if _pa.cpu_count() != 1:
+            _pa.set_cpu_count(1)
+        if _pa.io_thread_count() != 2:
+            _pa.set_io_thread_count(2)
+    except Exception:
+        pass

@@ -264,8 +264,14 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     ed_ckpt = StageCheckpoint(out_dir, "edges_raw", h, cfg.num_parts)
     edges_schema = EDGES_SCHEMA.append(pa.field("part", pa.int32()))
 
+    # prune at the read: text_norm (the dominant column) never enters the
+    # edge exchange — Ray pushes select_columns into the Parquet scan
+    _BLOCK_COLS = ["url", "modality", "content_hash", "simhash", "text_len",
+                   "payload_hash", "chunk_hashes", "band_keys"]
+
     def ed_filter(done: set[int]):
-        rows = explode_block_rows(fingerprints, num_parts=cfg.num_parts)
+        rows = explode_block_rows(fingerprints.select_columns(_BLOCK_COLS),
+                                  num_parts=cfg.num_parts)
         if not done:
             return rows
         done_arr = pa.array(sorted(done), pa.int32())
@@ -336,13 +342,14 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         # SequenceMatcher is the per-pair hot loop: spread pairs across the
         # cluster (from_arrow yields ONE block otherwise -> serial verify)
         pairs_ds = rd.from_arrow(pairs_tbl).repartition(cfg.shuffle_blocks)
-        cpus = int(ray.cluster_resources().get("CPU", 4))
+        # pool capped at 16: each actor holds the full broadcast text dict
+        # (hundreds of MB at bench scale) — memory, not CPU, bounds the pool
         verified = pairs_ds.map_batches(
             TextPairVerifier,
             fn_constructor_args=(texts_ref, cfg.threshold),
             batch_format="pyarrow", zero_copy_batch=True,
             batch_size=1024,
-            concurrency=(1, max(2, cpus - 2)),
+            concurrency=(1, max(2, min(16, cpus - 2))),
         )
         part_ref = ray.put(pair_part)
 
@@ -454,9 +461,9 @@ def _collect_texts(fingerprints, urls: frozenset) -> dict:  # noqa: ANN001
             mask = pa.array([u in self._u for u in batch["url"].to_pylist()])
             return batch.select(["url", "text_norm"]).filter(mask)
 
-    small = fingerprints.map_batches(F, fn_constructor_args=(ref,),
-                                     batch_format="pyarrow", zero_copy_batch=True,
-                                     concurrency=2)
+    small = fingerprints.select_columns(["url", "text_norm"]).map_batches(
+        F, fn_constructor_args=(ref,), batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=2)
     out: dict[str, str] = {}
     for b in small.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for u, t in zip(b["url"].to_pylist(), b["text_norm"].to_pylist()):

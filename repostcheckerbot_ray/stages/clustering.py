@@ -117,7 +117,7 @@ def cluster_meta(fingerprints_ds, comp: dict) -> dict:  # noqa: ANN001
             )
             return t
 
-    rows = fingerprints_ds.map_batches(
+    rows = fingerprints_ds.select_columns(["url", "warc_ts"]).map_batches(
         MemberProject, fn_constructor_args=(comp_ref,),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
     )
@@ -140,7 +140,7 @@ def assign_clusters(fingerprints_ds, edges_ds):  # noqa: ANN001
     meta = cluster_meta(fingerprints_ds, comp)
     comp_ref = ray.put(comp)
     meta_ref = ray.put(meta)
-    return fingerprints_ds.map_batches(
+    return fingerprints_ds.select_columns(["url", "warc_ts"]).map_batches(
         make_cluster_assigner(comp_ref, meta_ref),
         batch_format="pyarrow",
         zero_copy_batch=True,

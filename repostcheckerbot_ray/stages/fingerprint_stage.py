@@ -81,6 +81,9 @@ class FingerprintBatcher:
     """Warmed actor: HTML parser + token-hash cache built once per actor."""
 
     def __init__(self, num_parts: int = 16) -> None:
+        from ..pipelines import _pin_arrow_threads
+
+        _pin_arrow_threads()
         self._extractor = ReusableExtractor()
         self._tok_cache: dict[str, int] = {}
         self._num_parts = num_parts

@@ -140,6 +140,9 @@ class TextPairVerifier:
     def __init__(self, texts_ref, thresh: float = DEFAULT_THRESHOLD) -> None:  # noqa: ANN001
         import ray
 
+        from ..pipelines import _pin_arrow_threads
+
+        _pin_arrow_threads()
         self._texts: dict[str, str] = ray.get(texts_ref)
         self._thresh = thresh
 
@@ -375,6 +378,9 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
     min_ratio = 1.0 - thresh / 10.0
 
     def score_part(group: pa.Table) -> pa.Table:
+        from ..pipelines import _pin_arrow_threads
+
+        _pin_arrow_threads()
         part = group["part"][0].as_py()
         g = group.sort_by([("band_key", "ascending"), ("chash64", "ascending"),
                            ("content_hash", "ascending"), ("url", "ascending")])

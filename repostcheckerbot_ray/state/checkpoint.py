@@ -86,6 +86,9 @@ class StageCheckpoint:
         ckpt = self
 
         def write_group(group: pa.Table) -> pa.Table:
+            from ..pipelines import _pin_arrow_threads
+
+            _pin_arrow_threads()
             part = group["part"][0].as_py()
             rec = ckpt.write_part(int(part), group.select([f.name for f in schema]))
             return pa.table(
