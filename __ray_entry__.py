@@ -30,7 +30,7 @@ def _corpus_dir(tag: str) -> str:
     the input-hint-shaped table for flagship/multimodal queries."""
     from repostcheckerbot_ray.fixtures import write_fixture
 
-    d = f"/tmp/rcb_corpus_{tag}"
+    d = f"/tmp/rcb_corpus_v3_{tag}"
     marker = os.path.join(d, "pages", "part-00000.parquet")
     if not os.path.exists(marker):
         write_fixture(d)

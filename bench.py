@@ -29,7 +29,7 @@ def _bench_corpus() -> str:
     """Deterministic synthetic pages corpus, generated once and cached."""
     from repostcheckerbot_ray.fixtures import bench_spec, write_fixture
 
-    d = f"/tmp/rcb_bench_corpus_v2_s{BENCH_SCALE}"  # v2: 100-500-token docs
+    d = f"/tmp/rcb_bench_corpus_v3_s{BENCH_SCALE}"  # v3: + imagetext families
     marker = os.path.join(d, "pages", "part-00000.parquet")
     if not os.path.exists(marker):
         write_fixture(d, bench_spec(scale=BENCH_SCALE), shards=32)

@@ -52,6 +52,7 @@ class FixtureSpec:
     n_text_families: int = 40       # each: original + exact + whitespace + near
     n_payload_families: int = 12    # each: original + bitflip repost
     n_chunked_families: int = 8     # each: original + frame-edit repost
+    n_imagetext_families: int = 6   # same embedded text, payloads far apart
     n_negatives: int = 120          # unrelated singleton docs
     n_hard_negative_pairs: int = 12  # shared prefix, must NOT match
     hot_band_copies: int = 50       # boilerplate exact copies (hot key)
@@ -87,16 +88,21 @@ def _vocab(rng: random.Random, n: int = 600) -> list[str]:
     return sorted(words)
 
 
-_VOCAB_ARR: dict[int, np.ndarray] = {}
+# keyed by (first word, length) + identity check — id() alone can collide
+# when a GC'd list's address is reused by a different vocab
+_VOCAB_ARR: dict[tuple, tuple] = {}
 
 
 def _text(rng: random.Random, vocab: list[str], lo: int = 50, hi: int = 300) -> str:
     """Seeded doc text; numpy-vectorized (the generator is called ~1M times
     for bench corpora — per-token random.choice would dominate)."""
-    arr = _VOCAB_ARR.get(id(vocab))
-    if arr is None:
+    key = (vocab[0], len(vocab))
+    hit = _VOCAB_ARR.get(key)
+    if hit is None or hit[0] is not vocab:
         arr = np.array(vocab, dtype=object)
-        _VOCAB_ARR[id(vocab)] = arr
+        _VOCAB_ARR[key] = (vocab, arr)  # holds the list ref -> id stays live
+    else:
+        arr = hit[1]
     r = np.random.RandomState(rng.getrandbits(31))
     n = r.randint(lo, hi + 1)
     return " ".join(arr[r.randint(0, len(arr), n)])
@@ -211,6 +217,27 @@ def generate(spec: FixtureSpec | None = None) -> Fixture:
         var = _payload_variant(rng, data)
         u1 = add_row(f"https://sitep{f}.example/img-repost.png", None, var, "en")
         family_pairs([u0, u1], "payload")
+
+    # --- imagetext families (.png url, SAME embedded text, payload hashes
+    # far apart): linked only via the ImageText dual channel — the
+    # reference fingerprints an image post's OCR text in addition to its
+    # dhash and matches on it (database.py:748-751, 631-647) -------------
+    for f in range(spec.n_imagetext_families):
+        txt = _text(rng, vocab, spec.lo_tokens, spec.hi_tokens)
+
+        def _it_html(blob_seed: int) -> bytes:
+            blob = np.random.RandomState(blob_seed).bytes(1024).hex()
+            return ("<html><body><p>" + txt + "</p><!-- " + blob
+                    + " --></body></html>").encode("utf-8")
+
+        h0 = _it_html(rng.getrandbits(31))
+        for _ in range(20):
+            h1 = _it_html(rng.getrandbits(31))
+            if spec.fast or hamming64(payload_hash64(h0), payload_hash64(h1)) > 8:
+                break
+        u0 = add_row(f"https://siteit{f}.example/a.png", None, h0, "en")
+        u1 = add_row(f"https://siteit{f}.example/b.png", None, h1, "en")
+        family_pairs([u0, u1], "imagetext")
 
     # --- chunked families (.gif url -> frame-list modality) --------------
     for f in range(spec.n_chunked_families):
@@ -342,6 +369,7 @@ def bench_spec(scale: int = 1, seed: int = 42) -> FixtureSpec:
         n_text_families=400 * scale,
         n_payload_families=60 * scale,
         n_chunked_families=30 * scale,
+        n_imagetext_families=20 * scale,
         n_negatives=2000 * scale,
         n_hard_negative_pairs=60 * scale,
         hot_band_copies=200,

@@ -252,12 +252,14 @@ class _ShingleBander:
         )
 
 
-def _pairs_from_bands(bands_ds, max_block: int = 256) -> set:  # noqa: ANN001
+def _candidate_pairs_ds(bands_ds, max_block: int = 256):  # noqa: ANN001
     """Part-keyed exchange (part = band_key % 32 → few large groups), then a
     numpy run-scan over sorted band keys inside each part; only
-    multi-occupancy bands emit pairs. Pairs deduped driver-side (≪ corpus).
-    Grouping by raw band_key would create one group per doc-band (millions
-    of singleton dispatches)."""
+    multi-occupancy bands emit pairs, deduped WITHIN the part (a pair
+    surfacing in several bands of one part collapses here; cross-part
+    duplicates collapse inside the verification join — no driver set
+    anywhere). Grouping by raw band_key would create one group per doc-band
+    (millions of singleton dispatches)."""
 
     def pairs_in_part(group: pa.Table) -> pa.Table:
         g = group.sort_by([("band_key", "ascending"), ("doc_id", "ascending")])
@@ -265,28 +267,75 @@ def _pairs_from_bands(bands_ds, max_block: int = 256) -> set:  # noqa: ANN001
         ids_all = g["doc_id"].to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
         ends = np.r_[starts[1:], len(bk)]
-        a, b = [], []
+        pairs = set()
         for s_, e_ in zip(starts, ends):
             if e_ - s_ < 2:
                 continue
             ids = sorted(set(ids_all[s_:e_].tolist()))[:max_block]
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
-                    a.append(ids[i])
-                    b.append(ids[j])
-        return pa.table({"id_a": pa.array(a, pa.int64()),
-                         "id_b": pa.array(b, pa.int64())})
+                    pairs.add((ids[i], ids[j]))
+        out = sorted(pairs)
+        return pa.table({"a": pa.array([p[0] for p in out], pa.int64()),
+                         "b": pa.array([p[1] for p in out], pa.int64())})
 
-    out = set()
     from . import fast_shuffle
 
     # coalesce before the shuffle: sort-shuffle cost grows with block count²
     with fast_shuffle():
         cands = bands_ds.repartition(16).groupby("part").map_groups(
             pairs_in_part, batch_format="pyarrow")
-    for t in cands.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        out.update(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
-    return out
+        cands = cands.materialize()
+    return cands
+
+
+def _jaccard_factory(threshold: float):
+    """Per-group scorer for the verification exchange: exact shingle-set
+    Jaccard (matches the SQL oracle's trigram construction), with a
+    per-group cache so each doc's shingle set is built once per group."""
+
+    def factory():
+        cache: dict[int, set] = {}
+
+        def score(a, b, ta, tb):  # noqa: ANN001
+            sa = cache.get(a)
+            if sa is None:
+                sa = _shingle_set(ta)
+                cache[a] = sa
+            sb = cache.get(b)
+            if sb is None:
+                sb = _shingle_set(tb)
+                cache[b] = sb
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
+            return j if j >= threshold else None
+
+        return score
+
+    return factory
+
+
+def _verified_pairs(sf_dir: str, threshold: float):
+    """documents → LSH bands → candidate pairs → distributed exact-Jaccard
+    verification (stages.pair_join: pairs and texts meet in ONE keyed
+    exchange; scoring runs per pair_part group — no driver pair set, no
+    broadcast text dict). Returns Dataset(a, b, score, part)."""
+    from ..stages.pair_join import attach_via_union, verify_pairs_distributed
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bands = ds.map_batches(_ShingleBander, batch_format="pyarrow",
+                           zero_copy_batch=True, concurrency=2)
+    cands = _candidate_pairs_ds(bands)
+    if cands.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64()),
+             "part": pa.array([], pa.int32())}))
+    attached = attach_via_union(cands, ds, "doc_id", "text", num_parts=32)
+    return verify_pairs_distributed(attached, _jaccard_factory(threshold))
 
 
 def _assign_clusters(ds, comp: dict):  # noqa: ANN001
@@ -308,24 +357,6 @@ def _assign_clusters(ds, comp: dict):  # noqa: ANN001
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _collect_doc_texts(ds, ids: frozenset) -> dict:  # noqa: ANN001
-    import ray
-
-    ref = ray.put(ids)
-
-    def f(batch: pa.Table) -> pa.Table:
-        want = ray.get(ref)
-        mask = pa.array([i in want for i in batch["doc_id"].to_pylist()])
-        return batch.filter(mask)
-
-    small = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
-    out = {}
-    for b in small.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            out[i] = t
-    return out
-
-
 def _shingle_set(t: str) -> set:
     """Distinct token 3-grams (strictly; <3 tokens → empty set), matching
     the SQL oracle's trigram construction exactly."""
@@ -336,26 +367,19 @@ def _shingle_set(t: str) -> set:
 def minhash_dedup_clusters(sf_dir: str, verify_jaccard: float = 0.8):
     """MinHash-LSH near-dup clusters over documents (the table carries
     natural near-duplicates): shingle→minhash→band→groupby blocking,
-    exact-Jaccard verification of candidates (broadcast texts), union-find
-    components. At b=32,r=4 the miss probability at J=0.8 is (1-0.8^4)^32
-    ≈ 5e-8 — the blocked scan is equivalent to the reference's full scan
-    (database.py:389-405) at this threshold."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    bands = ds.map_batches(_ShingleBander, batch_format="pyarrow",
-                           zero_copy_batch=True, concurrency=2)
-    cand = _pairs_from_bands(bands)
-    texts = _collect_doc_texts(ds, frozenset(x for p in cand for x in p))
+    distributed exact-Jaccard verification (pair_join exchanges), union-find
+    over the VERIFIED edge set only (edges ≪ corpus — the one deliberately
+    centralized piece, same contract as the flagship). At b=32,r=4 the miss
+    probability at J=0.8 is (1-0.8^4)^32 ≈ 5e-8 — the blocked scan is
+    equivalent to the reference's full scan (database.py:389-405) at this
+    threshold."""
+    verified = _verified_pairs(sf_dir, verify_jaccard)
     edges = []
-    cache: dict[int, set] = {}
-    for a, b in sorted(cand):
-        sa = cache.setdefault(a, _shingle_set(texts[a]))
-        sb = cache.setdefault(b, _shingle_set(texts[b]))
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        if union and inter / union >= verify_jaccard:
-            edges.append((a, b))
+    for t in verified.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        edges.extend(zip(t["a"].to_pylist(), t["b"].to_pylist()))
     comp = components_from_edges(edges)
-    return _assign_clusters(ds.select_columns(["doc_id"]), comp)
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return _assign_clusters(ds, comp)
 
 
 class _SimhashBander:
@@ -389,9 +413,13 @@ class _SimhashBander:
         )
 
 
-def simhash_dedup_clusters(sf_dir: str, max_hamming: int = 3):
+def simhash_dedup_clusters(sf_dir: str, max_hamming: int = 3,
+                           max_block: int = 256):
     """SimHash near-dup clusters: 16-bit-band blocking + in-group Hamming
-    verification (no text fetch needed) + union-find."""
+    verification (no text fetch needed) + union-find over VERIFIED edges
+    only (edges ≪ corpus; the accepted centralized closure step). Hot bands
+    are scored in max_block shards — recall recovered via the other
+    N_BANDS-1 bands, same skew rule as the flagship scorer."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     rows = ds.map_batches(_SimhashBander, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=2)
@@ -403,7 +431,7 @@ def simhash_dedup_clusters(sf_dir: str, max_hamming: int = 3):
         sims_all = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
         ends = np.r_[starts[1:], len(bk)]
-        out_a, out_b = [], []
+        pairs = set()
         for s_, e_ in zip(starts, ends):
             if e_ - s_ < 2:
                 continue
@@ -411,17 +439,20 @@ def simhash_dedup_clusters(sf_dir: str, max_hamming: int = 3):
             for k in range(s_, e_):
                 first.setdefault(int(ids_all[k]), k)
             uniq = sorted(first.items())
-            if len(uniq) < 2:
-                continue
-            sub = np.array([sims_all[k] for _, k in uniq], dtype=np.uint64)
-            ham = hamming64_matrix(sub, sub)
-            ai, bi = np.nonzero(np.triu(ham <= max_hamming, k=1))
-            out_a.extend(uniq[i][0] for i in ai)
-            out_b.extend(uniq[i][0] for i in bi)
+            for off in range(0, len(uniq), max_block):
+                shard = uniq[off:off + max_block]
+                if len(shard) < 2:
+                    continue
+                sub = np.array([sims_all[k] for _, k in shard], dtype=np.uint64)
+                ham = hamming64_matrix(sub, sub)
+                ai, bi = np.nonzero(np.triu(ham <= max_hamming, k=1))
+                pairs.update((shard[i][0], shard[j][0])
+                             for i, j in zip(ai, bi))
+        out = sorted(pairs)
         return pa.table(
             {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
+                "id_a": pa.array([p[0] for p in out], pa.int64()),
+                "id_b": pa.array([p[1] for p in out], pa.int64()),
             }
         )
 
@@ -444,24 +475,14 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
     fuzzy scan (database.py:389-405) — so a match proves the blocked scan
     loses nothing at this threshold. Integer-set arithmetic on both sides →
     bit-identical thresholds, no float-tolerance issues."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    bands = ds.map_batches(_ShingleBander, batch_format="pyarrow",
-                           zero_copy_batch=True, concurrency=2)
-    cand = _pairs_from_bands(bands)
-    texts = _collect_doc_texts(ds, frozenset(x for p in cand for x in p))
-    rows_a, rows_b = [], []
-    cache: dict[int, set] = {}
-    for a, b in sorted(cand):
-        sa = cache.setdefault(a, _shingle_set(texts[a]))
-        sb = cache.setdefault(b, _shingle_set(texts[b]))
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        if union and inter / union >= threshold:
-            rows_a.append(a)
-            rows_b.append(b)
+    verified = _verified_pairs(sf_dir, threshold)
+    pairs = set()
+    for t in verified.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        pairs.update(zip(t["a"].to_pylist(), t["b"].to_pylist()))
+    out = sorted(pairs)
     return pa.table(
         {
-            "id_a": pa.array(rows_a, pa.int64()),
-            "id_b": pa.array(rows_b, pa.int64()),
+            "id_a": pa.array([p[0] for p in out], pa.int64()),
+            "id_b": pa.array([p[1] for p in out], pa.int64()),
         }
     )

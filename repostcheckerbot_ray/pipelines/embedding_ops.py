@@ -170,10 +170,18 @@ def knn_ivf(sf_dir: str, k: int = 10, query_ids=DEFAULT_QUERY_IDS,  # noqa: ANN0
     )
 
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.99):
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.99,
+                        tile: int = 4096):
     """Near-dup pairs over embeddings ∪ id-shifted exact copy, blocked by
-    label (fixed blocking key): within-block cosine matrix, emit id_a<id_b
-    pairs with similarity > threshold."""
+    label (fixed blocking key): within-block cosine, emit id_a<id_b pairs
+    with similarity > threshold.
+
+    Hot-label rule: the in-group pair scan is TILED into tile×tile matmuls
+    (sorted by vec_id, upper triangle of tile pairs), so a hot label costs
+    bounded memory per step instead of one O(n²) similarity matrix — and,
+    unlike the salting rule for LSH bands (where other bands recover
+    recall), NO pairs are dropped here, because the label block is the only
+    chance to find the pair and the SQL oracle checks exact equality."""
     ds = _read_embeddings(sf_dir)
 
     def shifted(batch: pa.Table) -> pa.Table:
@@ -183,12 +191,26 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.99):
     both = ds.union(ds.map_batches(shifted, batch_format="pyarrow", zero_copy_batch=True))
 
     def pairs_in_label(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group["vec_id"])
+        group = group.take(order)
         m = _normalize(_batch_matrix(group))
         vids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
-        sims = m @ m.T
-        ai, bi = np.nonzero(np.triu(sims > threshold, k=1))
-        a = np.minimum(vids[ai], vids[bi])
-        b = np.maximum(vids[ai], vids[bi])
+        n = len(vids)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for i0 in range(0, n, tile):
+            mi = m[i0:i0 + tile]
+            for j0 in range(i0, n, tile):
+                sims = mi @ m[j0:j0 + tile].T
+                ai, bi = np.nonzero(sims > threshold)
+                ai = ai + i0
+                bi = bi + j0
+                keep = ai < bi  # strict upper triangle across tiles
+                if keep.any():
+                    out_a.append(np.minimum(vids[ai[keep]], vids[bi[keep]]))
+                    out_b.append(np.maximum(vids[ai[keep]], vids[bi[keep]]))
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
         return pa.table(
             {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
         )

@@ -37,7 +37,13 @@ import pyarrow.parquet as pq
 from ..functions.fingerprint import token_hash
 from ..stages.clustering import assign_clusters
 from ..stages.fingerprint_stage import FINGERPRINT_SCHEMA, FingerprintBatcher
-from ..stages.scoring_stage import TextPairVerifier, dedup_edges
+from ..stages.pair_join import (
+    explode_needs,
+    make_checkpoint_attacher,
+    pair_part_of,
+    verify_pairs_distributed,
+)
+from ..stages.scoring_stage import dedup_edges
 from ..state.checkpoint import StageCheckpoint, config_hash
 
 EDGES_SCHEMA = pa.schema(
@@ -174,10 +180,22 @@ def _drop_parts_filter(col: str, num_parts: int, done: set[int]):
 
 
 def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = None,
-                        write_outputs: bool = True) -> dict:  # noqa: ANN001
+                        write_outputs: bool = True,
+                        extra_fingerprint_ckpts=None,
+                        extra_fingerprints=None,
+                        tombstones=None,
+                        _fp_ckpt_cls=None) -> dict:  # noqa: ANN001
     """Run the flagship pipeline; returns dict with fingerprints / edges /
     clusters Datasets and the metrics table. Ray must already be initialized
-    (driver contract) or auto-inits locally."""
+    (driver contract) or auto-inits locally.
+
+    Delta mode (A2/§2.G): ``extra_fingerprints`` is a persisted fingerprint
+    Dataset (history) unioned into blocking/scoring WITHOUT re-fingerprinting;
+    ``extra_fingerprint_ckpts`` lists the history checkpoint dirs so the text
+    verifier's co-partitioned join can read history texts per part.
+    ``tombstones`` (D5): iterable/Dataset of dead urls anti-joined out of
+    edges and clusters (reference re-checks matched originals and deletes
+    dead ones, /root/reference/database.py:650-676)."""
     import ray
     import ray.data as rd
 
@@ -248,11 +266,47 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
 
             return write_group
 
-    fp_ckpt.__class__ = _FpCheckpoint
+    fp_ckpt.__class__ = _fp_ckpt_cls or _FpCheckpoint
     fingerprints = _checkpointed_stage(fp_builder, fp_input_filter, fp_ckpt,
                                        fp_schema, metrics, exchange="hash")
-    fp_ckpt.write_lineage(out_dir, {"input": str(pages_path)})
+    fp_ckpt.write_lineage({"input": str(pages_path)})
     _mark("fingerprints")
+
+    # --- Delta mode (A2): union persisted history fingerprints, never
+    # re-fingerprinted (reference resolves each new post against accumulated
+    # history, /root/reference/app.py:137,210; database.py:328-358) ---------
+    if extra_fingerprints is not None:
+        fingerprints = fingerprints.union(
+            extra_fingerprints.select_columns([f.name for f in fp_schema]))
+
+    # --- Tombstone anti-join (D5, database.py:650-676): dead urls leave the
+    # corpus before blocking — edges/clusters can never reference them.
+    # Small side broadcast once via ray.put, filtered inside map_batches. ---
+    if tombstones is not None:
+        dead = tombstones
+        if hasattr(dead, "iter_batches"):  # a Dataset(url)
+            dead = [u for b in dead.iter_batches(batch_size=65536,
+                                                 batch_format="pyarrow")
+                    for u in b["url"].to_pylist()]
+        dead_set = frozenset(dead)
+        metrics.add("tombstones", "urls", len(dead_set))
+        # result-affecting input -> fold into the downstream stage hashes so
+        # a tombstone change invalidates edge checkpoints, not fingerprints
+        h = config_hash({"base": h, "tombstones": sorted(dead_set)})
+        dead_ref = ray.put(dead_set)
+
+        class _DropDead:
+            def __init__(self, ref) -> None:  # noqa: ANN001
+                self._dead = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                d = self._dead
+                return batch.filter(
+                    pa.array([u not in d for u in batch["url"].to_pylist()]))
+
+        fingerprints = fingerprints.map_batches(
+            _DropDead, fn_constructor_args=(dead_ref,),
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
 
     # --- Stage 2: unified edge exchange (D2+D3+F2+F3 in ONE shuffle) --------
     # All modalities explode into one kind-salted block-row relation; a
@@ -288,82 +342,87 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
 
     edges_raw = _checkpointed_stage(ed_builder, ed_filter, ed_ckpt,
                                     edges_schema, metrics, exchange="hash")
-    ed_ckpt.write_lineage(out_dir, {})
+    ed_ckpt.write_lineage({})
     _mark("edges_raw")
 
-    # --- Stage 2b: text candidate verification (broadcast pass, D3/F1) -----
+    # --- Stage 2b: text candidate verification (distributed join, D3/F1) ---
+    # No driver-side state: pairs dedupe inside the attach exchange; texts
+    # come from the co-partitioned fingerprint checkpoint files (zero text
+    # bytes through the exchange); SequenceMatcher runs per pair_part group.
     tv_ckpt = StageCheckpoint(out_dir, "edges_text", h, cfg.num_parts)
 
     def tv_filter(done: set[int]):
+        done_arr = pa.array(sorted(done), pa.int32()) if done else None
+
         def keep(batch: pa.Table) -> pa.Table:
-            m = pc.equal(batch["kind"], "tcand")
-            if done:
-                m = pc.and_(m, pc.invert(pc.is_in(
-                    batch["part"], value_set=pa.array(sorted(done), pa.int32()))))
-            return batch.filter(m)
+            m = pc.and_(pc.equal(batch["kind"], "tcand"),
+                        pc.not_equal(batch["url_a"], "_salted_block"))
+            t = batch.filter(m)
+            if done_arr is not None and t.num_rows:
+                pp = pa.array(
+                    [pair_part_of(a, b, cfg.num_parts)
+                     for a, b in zip(t["url_a"].to_pylist(),
+                                     t["url_b"].to_pylist())], pa.int32())
+                t = t.filter(pc.invert(pc.is_in(pp, value_set=done_arr)))
+            return t
 
         return edges_raw.map_batches(keep, batch_format="pyarrow",
                                      zero_copy_batch=True)
 
+    fp_ckpt_dirs = [fp_ckpt.dir] + list(extra_fingerprint_ckpts or [])
+
     def tv_builder(cands):  # noqa: ANN001
-        # stream candidates to the driver ONCE: dedupe pairs (a pair can
-        # surface in up to NUM_BANDS bands; deterministic min part) and
-        # count cap sentinels. Candidates << corpus by construction — the
-        # same assumption as the broadcast text lookup below.
-        pair_part: dict[tuple[str, str], int] = {}
-        salted_blocks = 0
-        for b in cands.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            for a, bb, p in zip(b["url_a"].to_pylist(), b["url_b"].to_pylist(),
-                                b["part"].to_pylist()):
-                if a == "_salted_block":
-                    salted_blocks += 1
-                    continue
-                k = (a, bb)
-                cur = pair_part.get(k)
-                if cur is None or p < cur:
-                    pair_part[k] = p
-        metrics.add("edges_text", "salted_hot_bands", salted_blocks)
-        metrics.add("edges_text", "candidate_pairs", len(pair_part))
-        if not pair_part:
+        if cands.count() == 0:  # empty groupby crashes the shuffle
             return rd.from_arrow(edges_schema.empty_table())
-        keys = sorted(pair_part)
-        pairs_tbl = pa.table(
-            {
-                "url_a": pa.array([k[0] for k in keys], pa.string()),
-                "url_b": pa.array([k[1] for k in keys], pa.string()),
-                "part": pa.array([pair_part[k] for k in keys], pa.int32()),
-            }
-        )
-        cand_urls = frozenset(pairs_tbl["url_a"].to_pylist()) | frozenset(
-            pairs_tbl["url_b"].to_pylist())
-        metrics.add("edges_text", "candidate_urls", len(cand_urls))
-        texts = _collect_texts(fingerprints, cand_urls)
-        texts_ref = ray.put(texts)
-        # SequenceMatcher is the per-pair hot loop: spread pairs across the
-        # cluster (from_arrow yields ONE block otherwise -> serial verify)
-        pairs_ds = rd.from_arrow(pairs_tbl).repartition(cfg.shuffle_blocks)
-        # pool capped at 16: each actor holds the full broadcast text dict
-        # (hundreds of MB at bench scale) — memory, not CPU, bounds the pool
-        verified = pairs_ds.map_batches(
-            TextPairVerifier,
-            fn_constructor_args=(texts_ref, cfg.threshold),
+        needs = cands.map_batches(
+            explode_needs(cfg.num_parts, cfg.num_parts, "url_a", "url_b"),
             batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=1024,
-            concurrency=(1, max(2, min(16, cpus - 2))),
         )
-        part_ref = ray.put(pair_part)
+        attached = needs.repartition(cfg.shuffle_blocks).groupby("part").map_groups(
+            make_checkpoint_attacher(fp_ckpt_dirs), batch_format="pyarrow")
+        thresh = cfg.threshold
 
-        def add_part(batch: pa.Table) -> pa.Table:
-            m = ray.get(part_ref)
-            parts = [m[(a, b)] for a, b in
-                     zip(batch["url_a"].to_pylist(), batch["url_b"].to_pylist())]
-            return batch.append_column("part", pa.array(parts, pa.int32()))
+        def text_score_factory():
+            from ..functions.scoring import seq_ratio
 
-        return verified.map_batches(add_part, batch_format="pyarrow")
+            def score(a, b, ta, tb):  # noqa: ANN001
+                r = seq_ratio(ta, tb)
+                # F1 predicate, /root/reference/database.py:396
+                return r * 100.0 if 10.0 - r * 10.0 < thresh else None
+
+            return score
+
+        verified = verify_pairs_distributed(attached, text_score_factory,
+                                            cfg.shuffle_blocks)
+
+        def finish(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "url_a": batch["a"],
+                    "url_b": batch["b"],
+                    "score": batch["score"],
+                    "kind": pa.array(["text"] * n, pa.string()),
+                    "part": batch["part"],
+                }
+            )
+
+        return verified.map_batches(finish, batch_format="pyarrow",
+                                    zero_copy_batch=True)
 
     text_edges = _checkpointed_stage(tv_builder, tv_filter, tv_ckpt,
                                      edges_schema, metrics)
-    tv_ckpt.write_lineage(out_dir, {})
+    tv_ckpt.write_lineage({})
+    # observability (distributed counts over the checkpoint-backed relation,
+    # never driver loops): candidate volume + hot-band salting sentinels
+    metrics.add("edges_text", "tcand_rows", edges_raw.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["kind"], "tcand"),
+                                   pc.not_equal(t["url_a"], "_salted_block"))),
+        batch_format="pyarrow", zero_copy_batch=True).count())
+    metrics.add("edges_text", "salted_hot_bands", edges_raw.map_batches(
+        lambda t: t.filter(pc.equal(t["url_a"], "_salted_block")),
+        batch_format="pyarrow", zero_copy_batch=True).count())
+    metrics.add("edges_text", "verified_edges", text_edges.count())
     _mark("edges_text")
 
     direct_edges = edges_raw.map_batches(
@@ -431,8 +490,19 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
             return t.filter(pa.array([c in want for c in t["cluster_id"].to_pylist()]))
 
         cl_small = clusters.map_batches(top_members, batch_format="pyarrow").to_pandas()
+        # edges pruned to top-cluster members BEFORE leaving the cluster —
+        # the driver never materializes the full edge relation
+        member_ref = ray.put(frozenset(cl_small["url"]))
+
+        def member_edges(t: pa.Table) -> pa.Table:
+            want = ray.get(member_ref)
+            return t.filter(pa.array(
+                [a in want or b in want
+                 for a, b in zip(t["url_a"].to_pylist(), t["url_b"].to_pylist())]))
+
+        ed_small = edges.map_batches(member_edges, batch_format="pyarrow").to_pandas()
         with open(os.path.join(out_dir, "report.md"), "w") as f:
-            f.write(render_cluster_report(cl_small, edges.to_pandas()))
+            f.write(render_cluster_report(cl_small, ed_small))
         _mark("report")
         pq.write_table(metrics.table(), os.path.join(out_dir, "metrics.parquet"))
     else:
@@ -446,26 +516,69 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     }
 
 
-def _collect_texts(fingerprints, urls: frozenset) -> dict:  # noqa: ANN001
-    """Semi-join: pull text_norm for the candidate url set only (broadcast
-    set filter inside map_batches; driver receives O(candidates) rows)."""
-    import ray
+def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # noqa: ANN001
+                     cfg: RepostConfig | None = None,
+                     write_outputs: bool = True) -> dict:
+    """Incremental/delta run (A2, SURVEY.md §2.G): fingerprint ONLY the new
+    pages, then block + score them against (delta ∪ persisted history
+    fingerprints) — history is read back from its per-part checkpoint, never
+    re-fingerprinted (mirrors the reference's resolve-new-against-accumulated
+    -history loop, /root/reference/app.py:137,210 + database.py:328-358).
 
-    ref = ray.put(urls)
+    D1 across runs (is_logged semantics, database.py:328-358): a delta url
+    already present in history is dropped — first writer wins. The anti-join
+    is co-partitioned: delta fingerprint parts are checked against the
+    matching history checkpoint part FILE (url column only), zero history
+    shuffle. Requires cfg.num_parts to match the history run's.
+    """
+    import ray.data as rd
 
-    class F:
-        def __init__(self, r) -> None:  # noqa: ANN001
-            self._u = ray.get(r)
+    cfg = cfg or RepostConfig()
+    hist_ckpt_dir = os.path.join(history_out_dir, "checkpoints", "fingerprints")
+    if not os.path.isdir(hist_ckpt_dir):
+        raise FileNotFoundError(f"no history fingerprint checkpoint under "
+                                f"{history_out_dir}")
+    hist_files = [os.path.join(hist_ckpt_dir, f"part={p}.parquet")
+                  for p in range(cfg.num_parts)]
+    hist_files = [f for f in hist_files
+                  if os.path.exists(f) and pq.read_metadata(f).num_rows > 0]
+    history = (rd.read_parquet(hist_files) if hist_files
+               else rd.from_arrow(FINGERPRINT_SCHEMA.empty_table()))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array([u in self._u for u in batch["url"].to_pylist()])
-            return batch.select(["url", "text_norm"]).filter(mask)
+    def drop_logged(group: pa.Table) -> pa.Table:
+        """Per-part anti-join against the history checkpoint file."""
+        part = group["part"][0].as_py()
+        path = os.path.join(hist_ckpt_dir, f"part={part}.parquet")
+        if not os.path.exists(path):
+            return group
+        logged = set(pq.read_table(path, columns=["url"])["url"].to_pylist())
+        if not logged:
+            return group
+        return group.filter(
+            pa.array([u not in logged for u in group["url"].to_pylist()]))
 
-    small = fingerprints.select_columns(["url", "text_norm"]).map_batches(
-        F, fn_constructor_args=(ref,), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=2)
-    out: dict[str, str] = {}
-    for b in small.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for u, t in zip(b["url"].to_pylist(), b["text_norm"].to_pylist()):
-            out[u] = t
-    return out
+    # run the normal pipeline over the delta pages only; the union +
+    # text-join plumbing receives history via the two extra_* hooks
+    class _DeltaFilterCheckpoint(StageCheckpoint):
+        """Delta fingerprint checkpoint whose per-part writer drops urls
+        already logged in history (exactly-once per url across runs)."""
+
+        def make_group_writer(self, schema: pa.Schema):  # noqa: ANN001
+            base = super().make_group_writer(schema)
+
+            def write_group(g: pa.Table) -> pa.Table:
+                g = g.sort_by([("url", "ascending"), ("warc_ts", "ascending"),
+                               ("content_hash", "ascending")])
+                urls = g["url"].to_pylist()
+                keep = [i for i, u in enumerate(urls)
+                        if i == 0 or u != urls[i - 1]]
+                return base(drop_logged(g.take(pa.array(keep))))
+
+            return write_group
+
+    return run_repost_pipeline(
+        delta_pages_path, out_dir, cfg, write_outputs=write_outputs,
+        extra_fingerprints=history,
+        extra_fingerprint_ckpts=[hist_ckpt_dir],
+        _fp_ckpt_cls=_DeltaFilterCheckpoint,
+    )

@@ -255,16 +255,18 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
         out.append(_subtable(batch["url"], "e", e_band, ch=batch["content_hash"],
                              ch64=ch64_all))
 
-        # text rows — NUM_BANDS per doc, fully vectorized
-        t_mask = pa.array(mods == "text")
-        t = batch.filter(t_mask)
+        # text rows — NUM_BANDS per doc, fully vectorized. Any doc carrying
+        # bands participates: "text" docs plus payload/chunked docs with
+        # extractable text (ImageText dual channel, database.py:748-751)
+        all_counts = batch["band_keys"].combine_chunks().value_lengths()
+        t_mask_np = all_counts.to_numpy(zero_copy_only=False) > 0
+        t = batch.filter(pa.array(t_mask_np))
         if t.num_rows:
             bands = t["band_keys"].combine_chunks()
             counts = bands.value_lengths().to_numpy(zero_copy_only=False)
             flat = bands.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
             idx = pa.array(np.repeat(np.arange(t.num_rows), counts))
             rep_idx = np.repeat(np.arange(t.num_rows), counts)
-            t_mask_np = mods == "text"
             out.append(_subtable(
                 t["url"].take(idx), "t", salted_vec("t", flat),
                 ch64=ch64_all[t_mask_np][rep_idx],

@@ -129,11 +129,6 @@ class FingerprintBatcher:
             modality[i] = mod
 
             if mod == "text":
-                toks = tokenize(raw)
-                n_tokens[i] = len(toks)
-                sh = shingle_hashes(token_hash_array(toks, self._tok_cache))
-                simhash[i] = simhash64(sh)
-                bkeys[i] = [int(b) for b in band_keys(minhash_signature(sh))]
                 content_hash[i] = hashlib.sha256(tn.encode("utf-8")).hexdigest()
             elif mod == "chunked":
                 data = bytes(html) if html is not None else b""
@@ -147,6 +142,19 @@ class FingerprintBatcher:
                 content_hash[i] = hashlib.sha256(
                     ("url:" + normalize_url(url)).encode("utf-8")
                 ).hexdigest()
+
+            # text channel — for "text" docs AND for payload/chunked docs
+            # with extractable text (the reference's ImageText secondary
+            # channel: image posts are ALSO fingerprinted and matched on
+            # their OCR'd text, database.py:748-751, 631-647). Two images
+            # with identical embedded text but distant payload hashes still
+            # pair via these bands.
+            if tn and mod in ("text", "payload", "chunked"):
+                toks = tokenize(raw)
+                n_tokens[i] = len(toks)
+                sh = shingle_hashes(token_hash_array(toks, self._tok_cache))
+                simhash[i] = simhash64(sh)
+                bkeys[i] = [int(b) for b in band_keys(minhash_signature(sh))]
 
         return pa.table(
             {

@@ -14,14 +14,14 @@ Text verification is two-phase because band rows are *light* (no text):
    (exact dups already matched by the exact path; one representative per
    distinct content, which also collapses hot boilerplate bands), apply the
    exact ``ratio_upper_bound`` length prefilter (zero recall loss) and a
-   generous SimHash-Hamming prefilter, emit ``(url_a, url_b)`` candidates;
-2. verification — candidate pairs are a tiny fraction of the corpus
-   (that is the entire point of blocking), so the pipeline broadcasts the
-   candidate urls' texts via ``ray.put`` and scores pairs in a stateless
-   ``map_batches``. The partitioned-hash-join fallback for a candidate set
-   too large to broadcast is ``state.union_find._hash_join`` — same keying,
-   no broadcast; the pipeline records candidate counts in metrics so the
-   assumption is observable.
+   generous SimHash-Hamming prefilter, emit ``(url_a, url_b)`` candidates
+   (deduped within the part);
+2. verification — fully distributed via ``stages.pair_join``: candidate
+   pairs explode into need rows co-partitioned with the fingerprint
+   checkpoint (texts joined per part from the part file, zero text bytes
+   shuffled), then re-keyed by pair hash and SequenceMatcher-scored per
+   group. No driver-side pair set, no broadcast text dict — nothing in the
+   stage holds corpus-proportional state.
 
 Oversized fuzzy blocks (after representative dedup) are SALTED: scored in
 deterministic shards of ``max_block`` (cost O(n·max_block), recall recovered
@@ -40,8 +40,6 @@ from ..functions.scoring import (
     hamming_pct,
     chunk_list_distance,
     popcount64,
-    ratio_upper_bound,
-    seq_ratio,
 )
 
 # A near-duplicate above the ratio threshold has near-identical shingle sets;
@@ -128,47 +126,6 @@ def _salt_row(n_shards: int) -> pa.Table:
             "url_b": pa.array([str(n_shards)], pa.string()),
         }
     )
-
-
-class TextPairVerifier:
-    """Actor-pool verifier: the broadcast text lookup (driver-side
-    ``ray.put``) is fetched and deserialized ONCE per actor in ``__init__``
-    — at bench scale the lookup is hundreds of MB, so a per-batch
-    ``ray.get`` in a stateless task would pay that deserialization on every
-    batch. SequenceMatcher (the F1 hot loop) runs per pair."""
-
-    def __init__(self, texts_ref, thresh: float = DEFAULT_THRESHOLD) -> None:  # noqa: ANN001
-        import ray
-
-        from ..pipelines import _pin_arrow_threads
-
-        _pin_arrow_threads()
-        self._texts: dict[str, str] = ray.get(texts_ref)
-        self._thresh = thresh
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        t = self._texts
-        thresh = self._thresh
-        ua = batch["url_a"].to_pylist()
-        ub = batch["url_b"].to_pylist()
-        out_a, out_b, scores = [], [], []
-        for a, b in zip(ua, ub):
-            ta, tb = t.get(a), t.get(b)
-            if ta is None or tb is None:
-                continue
-            ratio = seq_ratio(ta, tb)
-            if 10.0 - ratio * 10.0 < thresh:  # F1 predicate, database.py:396
-                out_a.append(a)
-                out_b.append(b)
-                scores.append(ratio * 100.0)
-        return pa.table(
-            {
-                "url_a": pa.array(out_a, pa.string()),
-                "url_b": pa.array(out_b, pa.string()),
-                "score": pa.array(scores, pa.float64()),
-                "kind": pa.array(["text"] * len(out_a), pa.string()),
-            }
-        )
 
 
 def make_payload_scorer(thresh: float = DEFAULT_THRESHOLD):
@@ -440,14 +397,29 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
                     ti_list.append(shard[a])
                     tj_list.append(shard[b])
             elif k == "p":
-                idx = np.arange(s_, e_, dtype=np.int64)
-                a, b = triu(L)
-                pi_list.append(idx[a])
-                pj_list.append(idx[b])
-            else:  # "c" — rare modality, per-run scorer is fine
-                res = unified(g.slice(s_, L))
-                if res.num_rows:
-                    tables.append(res)
+                # same max_block salting as text runs (skew rule): a hot
+                # payload band is scored in bounded shards — recall
+                # recovered through the other PAYLOAD_BANDS-1 bands
+                if L > max_block:
+                    salted += 1
+                for off in range(s_, e_, max_block):
+                    m = min(max_block, e_ - off)
+                    if m < 2:
+                        continue
+                    idx = np.arange(off, off + m, dtype=np.int64)
+                    a, b = triu(m)
+                    pi_list.append(idx[a])
+                    pj_list.append(idx[b])
+            else:  # "c" — rare modality, per-run scorer; sharded the same way
+                if L > max_block:
+                    salted += 1
+                for off in range(s_, e_, max_block):
+                    m = min(max_block, e_ - off)
+                    if m < 2:
+                        continue
+                    res = unified(g.slice(off, m))
+                    if res.num_rows:
+                        tables.append(res)
 
         if ea:
             tables.append(pa.table(
@@ -467,11 +439,14 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
             tot = np.maximum(la + lb, 1e-9)
             ub = 2.0 * np.minimum(la, lb) / tot
             keep = (hm <= SIMHASH_PREFILTER_BITS) & (ub > min_ratio)
-            out_a, out_b = [], []
+            pairs = set()
             for i, j in zip(I[keep], J[keep]):
                 a, b = urls[i], urls[j]
-                out_a.append(a if a < b else b)
-                out_b.append(b if a < b else a)
+                pairs.add((a, b) if a < b else (b, a))
+            # in-part dedupe: the same pair surfaces in many band runs of
+            # this part — collapse before the verification exchange
+            out_a = [p[0] for p in sorted(pairs)]
+            out_b = [p[1] for p in sorted(pairs)]
             if salted:
                 out_a.append("_salted_block")
                 out_b.append(str(salted))

@@ -101,8 +101,9 @@ class StageCheckpoint:
 
         return write_group
 
-    def write_lineage(self, root: str, extra: dict) -> None:
-        """Stage-level _lineage.json: config hash + per-part row counts."""
+    def write_lineage(self, extra: dict) -> None:
+        """Stage-level _lineage.json (written under this stage's checkpoint
+        dir): config hash + per-part row counts."""
         parts = {}
         for p in sorted(self.completed_parts()):
             with open(self._manifest_path(p)) as f:

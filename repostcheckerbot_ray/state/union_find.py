@@ -72,95 +72,97 @@ def components_from_edges(edges) -> dict:  # noqa: ANN001
     return uf.components()
 
 
-def label_propagation_components(edges_ds, max_iters: int = 50):  # noqa: ANN001
+def label_propagation_components(edges_ds, max_iters: int = 50,  # noqa: ANN001
+                                 num_parts: int = 16):
     """Distributed connected components over an edges Dataset(url_a, url_b)
-    via iterative min-label propagation (each round every node adopts the
-    min label among itself and its neighbors; converges in O(diameter)
-    rounds — duplicate clusters are near-cliques, so 2-3 rounds typical).
+    via iterative min-label propagation: each round every node adopts the
+    min label among itself and ALL its neighbors — edges are exploded in
+    BOTH orientations up front, so labels flow a→b and b→a symmetrically.
+    Converges in O(diameter) rounds (duplicate clusters are near-cliques,
+    so 2-3 rounds typical); fixed point detected by a DISTRIBUTED change
+    count (labels only decrease), never a driver-side frame compare.
 
-    Each round is one padded-union hash join + groupby over the (small)
-    edge-node relation, not the corpus. Returns a Dataset(url, cluster_id).
-    The driver-side ``components_from_edges`` is preferred while edges fit
-    one node; this is the documented beyond-one-node fallback.
+    Both exchanges per round are keyed by ``part = hash(url) % num_parts``
+    (few large groups, vectorized pandas joins/mins inside), not by raw url
+    — grouping per node would dispatch Python once per node. Relations are
+    edge-sized throughout, never corpus-sized. The driver-side
+    ``components_from_edges`` is preferred while edges fit one node; this is
+    the documented beyond-one-node fallback, same output contract.
     """
+    import numpy as np
     import pandas as pd
+    import pyarrow as pa
 
+    from ..functions.fingerprint import token_hash
+
+    def part_of(series: pd.Series) -> pd.Series:
+        return series.map(lambda u: token_hash(u) % num_parts)
+
+    # bidirectional edge relation, keyed by the SRC endpoint's part; the
+    # label side of the join is keyed the same way, so each part group is a
+    # self-contained hash join
     def explode(b: pd.DataFrame) -> pd.DataFrame:
-        # initial candidates: self and both neighbors
+        src = pd.concat([b["url_a"], b["url_b"]], ignore_index=True)
+        dst = pd.concat([b["url_b"], b["url_a"]], ignore_index=True)
         return pd.DataFrame(
-            {
-                "url": pd.concat([b["url_a"], b["url_b"], b["url_a"], b["url_b"]]),
-                "label": pd.concat([b["url_b"], b["url_a"], b["url_a"], b["url_b"]]),
-            }
+            {"key": src, "other": dst, "label": None, "is_label": False,
+             "part": part_of(src)}
         )
 
-    def min_label(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"url": [g["url"].iloc[0]], "label": [g["label"].min()]})
+    edges_bi = edges_ds.map_batches(
+        explode, batch_format="pandas").materialize()
 
-    labels = (
-        edges_ds.map_batches(explode, batch_format="pandas")
-        .groupby("url").map_groups(min_label, batch_format="pandas")
-        .materialize()
-    )
-    for _ in range(max_iters):
-        # join each edge endpoint with its current label, then spread that
-        # label to the other endpoint; union with current labels; take min
-        lab_a = labels.map_batches(
-            lambda b: b.rename(columns={"url": "url_a", "label": "label_a"}),
-            batch_format="pandas",
+    # initial labels: every endpoint labels itself (deduped per part)
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iloc[0])
+        urls = g["key"].drop_duplicates()
+        return pd.DataFrame(
+            {"url": urls, "label": urls, "changed": np.int64(0), "part": part}
         )
-        merged = _hash_join(edges_ds, lab_a, "url_a",
-                            left_cols=["url_a", "url_b"],
-                            right_cols=["url_a", "label_a"])
 
-        def spread(b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "url": pd.concat([b["url_a"], b["url_b"]]),
-                    "label": pd.concat([b["label_a"], b["label_a"]]),
-                }
-            )
+    labels = edges_bi.groupby("part").map_groups(
+        init_labels, batch_format="pandas").materialize()
 
-        cand = merged.map_batches(spread, batch_format="pandas").union(labels)
-        new_labels = cand.groupby("url").map_groups(
-            min_label, batch_format="pandas").materialize()
-        old = labels.to_pandas().sort_values("url").reset_index(drop=True)
-        new = new_labels.to_pandas().sort_values("url").reset_index(drop=True)
-        labels = new_labels
-        if old.equals(new):  # labels only decrease -> fixed point reached
-            break
-    return labels.map_batches(
-        lambda b: b.rename(columns={"label": "cluster_id"}), batch_format="pandas"
-    )
-
-
-def _hash_join(left_ds, right_ds, key, left_cols, right_cols):  # noqa: ANN001
-    """Small partitioned hash join: null-pad both sides to a common schema,
-    tag, union, groupby(key), pandas merge per group. Used only on the
-    edge-sized relations inside label propagation (a Dataset.union requires
-    matching schemas — padding makes that explicit)."""
-    import pandas as pd
-
-    all_cols = list(dict.fromkeys(left_cols + right_cols))
-
-    def pad(side, present):  # noqa: ANN001
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            for c in all_cols:
-                if c not in b.columns:
-                    b[c] = None
-            b["__side"] = side
-            return b[all_cols + ["__side"]]
-
-        return fn
-
-    both = left_ds.map_batches(pad(0, left_cols), batch_format="pandas").union(
-        right_ds.map_batches(pad(1, right_cols), batch_format="pandas")
-    )
+    def as_join_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": b["url"], "other": None, "label": b["label"],
+             "is_label": True, "part": b["part"]}
+        )
 
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == 0][left_cols]
-        r = g[g["__side"] == 1][right_cols]
-        return l.merge(r, on=key)
+        """Spread each src's current label to its dst; pass old labels
+        through. Output keyed by the RECEIVING url's part."""
+        lab = g[g["is_label"]]
+        ed = g[~g["is_label"]]
+        cand = ed[["key", "other"]].merge(lab[["key", "label"]], on="key")
+        url = pd.concat([cand["other"], lab["key"]], ignore_index=True)
+        label = pd.concat([cand["label"], lab["label"]], ignore_index=True)
+        is_old = np.r_[np.zeros(len(cand), bool), np.ones(len(lab), bool)]
+        return pd.DataFrame(
+            {"url": url, "label": label, "is_old": is_old,
+             "part": part_of(url)}
+        )
 
-    return both.groupby(key).map_groups(join_group, batch_format="pandas")
+    def min_group(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iloc[0])
+        mins = g.groupby("url")["label"].min()
+        old = g[g["is_old"]].set_index("url")["label"]
+        changed = (old.reindex(mins.index) != mins).to_numpy()
+        return pd.DataFrame(
+            {"url": mins.index, "label": mins.to_numpy(),
+             "changed": changed.astype(np.int64), "part": part}
+        )
+
+    for _ in range(max_iters):
+        both = edges_bi.union(
+            labels.map_batches(as_join_side, batch_format="pandas"))
+        spread = both.groupby("part").map_groups(
+            join_group, batch_format="pandas")
+        labels = spread.groupby("part").map_groups(
+            min_group, batch_format="pandas").materialize()
+        if labels.sum("changed") == 0:  # distributed convergence count
+            break
+    return labels.map_batches(
+        lambda b: b[["url", "label"]].rename(columns={"label": "cluster_id"}),
+        batch_format="pandas",
+    )

@@ -8,24 +8,56 @@ import pyarrow as pa
 import pytest
 
 
-def test_label_propagation_matches_union_find(ray_session):
+def _run_lp(edges):
     import ray.data as rd
 
-    from repostcheckerbot_ray.state.union_find import (
-        components_from_edges,
-        label_propagation_components,
-    )
-
-    edges = [("a", "b"), ("b", "c"), ("d", "e"), ("x", "y"), ("y", "z"), ("c", "x")]
-    want = components_from_edges(edges)
+    from repostcheckerbot_ray.state.union_find import label_propagation_components
 
     edges_ds = rd.from_arrow(pa.table({
         "url_a": pa.array([e[0] for e in edges]),
         "url_b": pa.array([e[1] for e in edges]),
     }))
     got_df = label_propagation_components(edges_ds).to_pandas()
-    got = dict(zip(got_df["url"], got_df["cluster_id"]))
-    assert got == want
+    return dict(zip(got_df["url"], got_df["cluster_id"]))
+
+
+def test_label_propagation_matches_union_find(ray_session):
+    from repostcheckerbot_ray.state.union_find import components_from_edges
+
+    edges = [("a", "b"), ("b", "c"), ("d", "e"), ("x", "y"), ("y", "z"), ("c", "x")]
+    assert _run_lp(edges) == components_from_edges(edges)
+
+
+def test_label_propagation_v_shape(ray_session):
+    """Round-1 bug repro: labels must flow BOTH directions. With edges
+    (a,c),(b,c), node b only ever appears as url_a — a src-to-dst-only
+    propagation leaves b in its own cluster."""
+    from repostcheckerbot_ray.state.union_find import components_from_edges
+
+    edges = [("a", "c"), ("b", "c")]
+    want = components_from_edges(edges)
+    assert len(set(want.values())) == 1  # one component {a, b, c}
+    assert _run_lp(edges) == want
+
+
+def test_label_propagation_large_graph(ray_session):
+    """>=1e5-edge graph (VERDICT done-criterion): many small chain clusters
+    plus extra intra-cluster edges — the realistic dedup shape."""
+    import random
+
+    from repostcheckerbot_ray.state.union_find import components_from_edges
+
+    rng = random.Random(7)
+    edges = []
+    for c in range(25_000):
+        nodes = [f"n{c}_{i}" for i in range(4)]
+        rng.shuffle(nodes)
+        edges.extend(zip(nodes, nodes[1:]))          # chain: 3 edges
+        edges.append((nodes[rng.randrange(4)], nodes[rng.randrange(4)]))
+    edges = [(a, b) for a, b in edges if a != b]
+    assert len(edges) >= 100_000 - 25_000  # ~1e5
+    want = components_from_edges(edges)
+    assert _run_lp(edges) == want
 
 
 def test_multimodal_strict_raises(ray_session):
