@@ -97,15 +97,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": lambda sf: embedding_ops.knn_brute_force(sf),
         "embedding_dup_pairs": lambda sf: embedding_ops.embedding_dup_pairs(sf),
+        # anti-join / predicate / reclassification family (SQL-oracled)
+        "tombstone_anti_join": corpus_ops.tombstone_anti_join,   # D5
+        "lang_filter": lambda sf: corpus_ops.lang_filter(sf),    # B3
+        "source_reclassify": corpus_ops.source_reclassify,       # A6/D6
         # rows-only (non-SQL-expressible: heuristic / approximate / pipeline)
         "text_analysis": corpus_ops.text_analysis,
         "ngram_jaccard_pairs": lambda sf: corpus_ops.ngram_jaccard_pairs(sf),
         "knn_ivf": lambda sf: embedding_ops.knn_ivf(sf),
         "repost_clusters": lambda sf: _flagship(sf)["clusters"],
         "repost_edges": lambda sf: _flagship(sf)["edges"],
+        "repost_delta_clusters": _repost_delta,                  # A2/§2.G
         "media_features": _media_features,
     }
     return q
+
+
+def _repost_delta(sf_dir: str) -> Any:
+    """Delta-run clusters over the synthetic corpus: history = first half of
+    the page shards, delta = the rest; history fingerprints come from its
+    checkpoint, never recomputed (pinned equal to the full recompute by
+    tests/test_delta.py)."""
+    import glob
+    import shutil
+
+    from repostcheckerbot_ray.pipelines.repost import RepostConfig, run_repost_delta, run_repost_pipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    d = _corpus_dir(tag)
+    root = f"/tmp/rcb_delta_{tag}"
+    shards = sorted(glob.glob(f"{d}/pages/*.parquet"))
+    hist_pages = os.path.join(root, "hist_pages")
+    delta_pages = os.path.join(root, "delta_pages")
+    if not os.path.isdir(delta_pages):
+        os.makedirs(hist_pages, exist_ok=True)
+        os.makedirs(delta_pages, exist_ok=True)
+        for s in shards[: len(shards) // 2]:
+            shutil.copy(s, hist_pages)
+        for s in shards[len(shards) // 2:]:
+            shutil.copy(s, delta_pages)
+    cfg = RepostConfig()
+    run_repost_pipeline(hist_pages, f"{root}/out_hist", cfg,
+                        write_outputs=False)
+    res = run_repost_delta(f"{root}/out_hist", delta_pages,
+                           f"{root}/out_delta", cfg, write_outputs=False)
+    return res["clusters"]
 
 
 def _media_features(sf_dir: str) -> Any:
@@ -194,6 +230,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM all_vecs a JOIN all_vecs b ON a.label = b.label AND a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.99"
+        ),
+        "tombstone_anti_join": (
+            "SELECT event_id, user_id FROM events WHERE user_id NOT IN "
+            "(SELECT DISTINCT user_id FROM events "
+            " WHERE event_type = 'error' AND value > 200)"
+        ),
+        "lang_filter": (
+            "SELECT doc_id, lang FROM documents WHERE lang NOT IN ('zh', 'fr')"
+        ),
+        "source_reclassify": (
+            "WITH rescanned AS ("
+            "  SELECT doc_id, CASE doc_id % 5 WHEN 0 THEN 'top' "
+            "    WHEN 1 THEN 'hot' WHEN 2 THEN 'new' ELSE source END AS source"
+            "  FROM documents),"
+            "all_docs AS ("
+            "  SELECT doc_id, source FROM documents"
+            "  UNION ALL SELECT doc_id, source FROM rescanned),"
+            "ranked AS ("
+            "  SELECT doc_id, (CASE source WHEN 'top' THEN '3' "
+            "    WHEN 'hot' THEN '2' WHEN 'new' THEN '1' ELSE '0' END "
+            "    || '|' || source) AS r FROM all_docs) "
+            "SELECT doc_id, substring(MAX(r), 3) AS source_resolved "
+            "FROM ranked GROUP BY doc_id"
         ),
         # text_analysis / minhash_dedup_clusters / simhash_dedup_clusters /
         # knn_ivf / repost_* / media_features: intentionally omitted

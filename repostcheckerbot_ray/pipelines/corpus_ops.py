@@ -185,6 +185,107 @@ def event_window_counts(sf_dir: str):
     ).aggregate(Count(alias_name="n"))
 
 
+def tombstone_anti_join(sf_dir: str):
+    """D5 liveness anti-join (reference re-checks each matched original and
+    deletes dead ones, /root/reference/database.py:650-676): tombstones =
+    users with a severe error event (value > 200); result = events of live
+    users only.
+
+    The tombstone side is computed distributed (pruned-column filter +
+    distinct aggregate) and is SMALL by construction, so it broadcasts once
+    via ray.put and the anti-join runs as a map-side filter — no shuffle of
+    the big side (the scalable anti-join shape when the delete set ≪ corpus).
+    """
+    import ray
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    dead_rows = ev.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["event_type"], "error"),
+                                   pc.greater(t["value"], 200.0)))
+                   .select(["user_id"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).unique("user_id")
+    dead_ref = ray.put(frozenset(dead_rows))
+
+    class AntiJoin:
+        def __init__(self, ref) -> None:  # noqa: ANN001
+            self._dead = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            d = self._dead
+            keep = pa.array([u not in d for u in batch["user_id"].to_pylist()])
+            return batch.select(["event_id", "user_id"]).filter(keep)
+
+    return ev.map_batches(AntiJoin, fn_constructor_args=(dead_ref,),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 4))
+
+
+def lang_filter(sf_dir: str, exclude: tuple = ("zh", "fr")):
+    """B3 generalization — the reference's media-provider NOT-IN predicate
+    (database.py:408, 730: v.reddit iff provider ∉ {gfycat, YouTube, Imgur})
+    as a content-attribute filter: documents whose lang is NOT in the set."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    bad = pa.array(list(exclude), pa.string())
+    return ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["lang"], value_set=bad))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+_SOURCE_RANK = {"top": "3", "hot": "2", "new": "1"}
+
+
+def source_reclassify(sf_dir: str):
+    """A6/D6 reclassification — the reference overwrites a logged post's
+    Location when it reappears under a higher-precedence scan
+    (database.py:238-248, 344-350: top > hot > new). Batch form: union the
+    relation with a re-scanned copy (deterministic source remap by doc_id),
+    then one grouped argmax-by-precedence per key — a column overwrite via
+    aggregation instead of in-place mutation.
+
+    Vectorized trick: precedence rank is prefixed onto the source string
+    (rank '0'..'3' + '|' + source), so the per-key argmax is a plain MAX
+    aggregate — no per-group Python."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def rescanned(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mod = ids % 5
+        src = np.asarray(batch["source"].to_pylist(), dtype=object).copy()
+        src[mod == 0] = "top"
+        src[mod == 1] = "hot"
+        src[mod == 2] = "new"  # mod 3/4 keep the original source (no-op path)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "source": pa.array(src.tolist(), pa.string())})
+
+    both = ds.union(ds.map_batches(rescanned, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+    def ranked(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_pylist()
+        r = [_SOURCE_RANK.get(s, "0") + "|" + s for s in src]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "r": pa.array(r, pa.string())})
+
+    agg = both.map_batches(ranked, batch_format="pyarrow",
+                           zero_copy_batch=True).groupby("doc_id").aggregate(
+        Max("r", alias_name="r_max"))
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source_resolved": pc.utf8_replace_slice(
+                    batch["r_max"], start=0, stop=2, replacement=""),
+            }
+        )
+
+    return agg.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --------------------------------------------------------------------------
 # text-analysis ops (heuristic → rows-only oracle)
 # --------------------------------------------------------------------------

@@ -212,15 +212,10 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         metrics.add(stage, "wall_ms", int((now - _t_last[0]) * 1000))
         _t_last[0] = now
 
-    pages = pages_path if hasattr(pages_path, "map_batches") else rd.read_parquet(pages_path)
+    # source (A1/E7) + TTL admission filter (B9, database.py:312-323)
+    from ..sources import read_pages
 
-    # --- TTL admission filter (B9, database.py:312-323) ---------------------
-    if cfg.ttl_cutoff_us is not None:
-        cutoff = pa.scalar(cfg.ttl_cutoff_us, pa.timestamp("us"))
-        pages = pages.map_batches(
-            lambda t: t.filter(pc.greater_equal(t["warc_ts"], cutoff)),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
+    pages = read_pages(pages_path, ttl_cutoff_us=cfg.ttl_cutoff_us)
 
     # --- Stage 1: fingerprints (+ per-part D1 url dedup) --------------------
     fp_ckpt = StageCheckpoint(out_dir, "fingerprints", h, cfg.num_parts)

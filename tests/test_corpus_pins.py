@@ -1,0 +1,44 @@
+"""Correctness pins for corpus ops whose driver check is rows-only.
+
+- simhash_dedup_clusters: pinned against a brute-force O(n²) Hamming pass
+  over the SAME simhash values (the reference's full-table fuzzy scan shape,
+  /root/reference/database.py:389-405) — proves the 16-bit-band blocked scan
+  loses nothing at Hamming ≤ 3 on this corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_simhash_clusters_match_bruteforce(ray_session):
+    from repostcheckerbot_ray.functions.fingerprint import (
+        shingle_hashes,
+        simhash64,
+        token_hash_array,
+    )
+    from repostcheckerbot_ray.functions.scoring import hamming64_matrix
+    from repostcheckerbot_ray.pipelines import corpus_ops
+    from repostcheckerbot_ray.state.union_find import components_from_edges
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_pylist()
+    cache: dict = {}
+    sims = np.array(
+        [simhash64(shingle_hashes(token_hash_array(t.lower().split(), cache)))
+         for t in docs["text"].to_pylist()],
+        dtype=np.uint64,
+    )
+    ham = hamming64_matrix(sims, sims)
+    ai, bi = np.nonzero(np.triu(ham <= 3, k=1))
+    edges = [(min(ids[i], ids[j]), max(ids[i], ids[j])) for i, j in zip(ai, bi)]
+    assert edges, "corpus must contain simhash near-dups for this pin to bite"
+    want = components_from_edges(edges)
+
+    got_df = corpus_ops.simhash_dedup_clusters(SF).to_pandas()
+    got = dict(zip(got_df["doc_id"], got_df["cluster_id"]))
+    for d in ids:
+        assert got[d] == want.get(d, d), f"doc {d}: {got[d]} != {want.get(d, d)}"

@@ -1,0 +1,87 @@
+"""Incremental/delta ingest (A2, SURVEY.md §2.G).
+
+Done-criterion: a delta run over new files blocked against persisted history
+produces the SAME clusters as a full recompute, while the history
+fingerprint checkpoints are never rewritten (mtime check) — the batch
+equivalent of the reference's resolve-new-against-accumulated-history loop
+(/root/reference/app.py:137,210; database.py:328-358).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from repostcheckerbot_ray.pipelines.repost import (
+    RepostConfig,
+    run_repost_delta,
+    run_repost_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def split_fixture(fixture_dir, tmp_path_factory):
+    """History = first half of the page shards, delta = the rest. The
+    fixture's duplicate-url rows are generated last (delta side), so
+    cross-run D1 (history wins) coincides with min-warc_ts D1."""
+    root = tmp_path_factory.mktemp("delta_split")
+    shards = sorted(glob.glob(f"{fixture_dir}/pages/*.parquet"))
+    assert len(shards) >= 4
+    hist_dir = root / "hist_pages"
+    delta_dir = root / "delta_pages"
+    hist_dir.mkdir()
+    delta_dir.mkdir()
+    for s in shards[: len(shards) // 2]:
+        shutil.copy(s, hist_dir / os.path.basename(s))
+    for s in shards[len(shards) // 2:]:
+        shutil.copy(s, delta_dir / os.path.basename(s))
+    return {"root": str(root), "hist": str(hist_dir), "delta": str(delta_dir)}
+
+
+def _cluster_frame(res) -> pd.DataFrame:  # noqa: ANN001
+    df = res["clusters"].to_pandas()[["url", "cluster_id", "cluster_size"]]
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def test_delta_matches_full_recompute(ray_session, fixture_dir, split_fixture):
+    cfg = RepostConfig()
+    root = split_fixture["root"]
+
+    full = run_repost_pipeline(f"{fixture_dir}/pages", f"{root}/out_full", cfg)
+    hist = run_repost_pipeline(split_fixture["hist"], f"{root}/out_hist", cfg)
+    assert hist["fingerprints"].count() > 0
+
+    fp_files = sorted(glob.glob(
+        f"{root}/out_hist/checkpoints/fingerprints/part=*.parquet"))
+    mtimes_before = {f: os.stat(f).st_mtime_ns for f in fp_files}
+
+    delta = run_repost_delta(f"{root}/out_hist", split_fixture["delta"],
+                             f"{root}/out_delta", cfg)
+
+    # history partitions untouched: no re-fingerprinting happened
+    mtimes_after = {f: os.stat(f).st_mtime_ns for f in fp_files}
+    assert mtimes_after == mtimes_before
+
+    got = _cluster_frame(delta)
+    want = _cluster_frame(full)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_delta_drops_already_logged_urls(ray_session, split_fixture):
+    """Cross-run D1: a delta url already in history must appear exactly once
+    in the combined fingerprint relation (reference is_logged skip)."""
+    import pyarrow.parquet as pq
+
+    root = split_fixture["root"]
+    fp = pq.read_table(
+        glob.glob(f"{root}/out_delta/checkpoints/fingerprints/part=*.parquet")[0]
+    )
+    hist_urls = set()
+    for f in glob.glob(f"{root}/out_hist/checkpoints/fingerprints/part=*.parquet"):
+        hist_urls.update(pq.read_table(f, columns=["url"])["url"].to_pylist())
+    delta_urls = fp["url"].to_pylist()
+    assert not (set(delta_urls) & hist_urls)
