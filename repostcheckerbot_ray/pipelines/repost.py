@@ -65,6 +65,9 @@ class RepostConfig:
     num_parts: int = 16
     max_block: int = 256
     ttl_cutoff_us: int | None = None  # admission TTL as absolute cutoff (B9)
+    # B11 provenance tag for rows whose input lacks a `source` column
+    # (≙ Location top/hot/new, database.py:754-759); delta runs tag "new"
+    source_tag: str = "new"
     batch_size: int = 512
     # blocks fed into each groupby shuffle: Ray's sort-shuffle cost grows
     # with the square of the block count, so inputs are coalesced; but too
@@ -237,7 +240,8 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     def fp_builder(src):  # noqa: ANN001
         return src.map_batches(
             FingerprintBatcher,
-            fn_constructor_kwargs={"num_parts": cfg.num_parts},
+            fn_constructor_kwargs={"num_parts": cfg.num_parts,
+                                   "source_tag": cfg.source_tag},
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=cfg.batch_size,

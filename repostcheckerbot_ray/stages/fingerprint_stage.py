@@ -53,6 +53,11 @@ FINGERPRINT_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("warc_ts", pa.timestamp("us")),
         ("lang", pa.string()),
+        # B11 provenance tag (≙ the reference's Location column: which scan
+        # found the post, top/hot/new — /root/reference/database.py:754-759).
+        # Comes from the input's `source` column when present, else the
+        # run's source_tag literal.
+        ("source", pa.string()),
         ("modality", pa.string()),
         ("text_norm", pa.string()),
         ("text_len", pa.uint32()),
@@ -80,13 +85,14 @@ def _is_img_url(url: str) -> bool:
 class FingerprintBatcher:
     """Warmed actor: HTML parser + token-hash cache built once per actor."""
 
-    def __init__(self, num_parts: int = 16) -> None:
+    def __init__(self, num_parts: int = 16, source_tag: str = "new") -> None:
         from ..pipelines import _pin_arrow_threads
 
         _pin_arrow_threads()
         self._extractor = ReusableExtractor()
         self._tok_cache: dict[str, int] = {}
         self._num_parts = num_parts
+        self._source_tag = source_tag
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -94,6 +100,10 @@ class FingerprintBatcher:
         htmls = batch["html"].to_pylist()
         ts = batch["warc_ts"]
         langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [""] * len(urls)
+        if "source" in batch.column_names:
+            sources = batch["source"]
+        else:
+            sources = pa.array([self._source_tag] * len(urls), pa.string())
 
         n = len(urls)
         modality = [""] * n
@@ -161,6 +171,7 @@ class FingerprintBatcher:
                 "url": pa.array(urls, pa.string()),
                 "warc_ts": ts,
                 "lang": pa.array(langs, pa.string()),
+                "source": sources,
                 "modality": pa.array(modality, pa.string()),
                 "text_norm": pa.array(text_norm, pa.string()),
                 "text_len": pa.array(text_len),
