@@ -129,8 +129,17 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, two fresh processes at 8 and 32 CPUs (N vs 4N stand-in)."""
-    # pre-generate + warm once so both runs see a hot cache
+    """Same job, fresh processes at 8 and 32 CPUs (N vs 4N stand-in).
+
+    This box's wall-clock noise between IDENTICAL runs exceeds ±50% (host
+    contention/throttling; see BASELINE.md), so one pair of samples can
+    swing the ratio by 2x in either direction. The protocol is therefore:
+    alternate the two levels over RCB_SCALING_REPS pairs (default 2),
+    take the best throughput per level (standard practice for noisy
+    microbenchmarks — the best run is the one least polluted by external
+    load), and report every raw sample alongside the headline ratio."""
+    reps = int(os.environ.get("RCB_SCALING_REPS", "2"))
+    # pre-generate + warm once so all runs see a hot cache
     _bench_corpus()
 
     def run(ncpu: int) -> dict:
@@ -142,19 +151,21 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
-    tput_lo = lo["docs_per_sec"]
-    tput_hi = hi["docs_per_sec"]
+    samples: dict[int, list] = {8: [], 32: []}
+    for _ in range(reps):
+        for ncpu in (8, 32):
+            samples[ncpu].append(run(ncpu)["docs_per_sec"])
+    tput_lo = max(samples[8])
+    tput_hi = max(samples[32])
     eff = (tput_hi / tput_lo) / (32 / 8)
     return {
         "metric": "scaling_efficiency_8_to_32",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
         "docs_per_sec_8": tput_lo,
         "docs_per_sec_32": tput_hi,
-        "corpus_docs": hi["corpus_docs"],
+        "samples_8": samples[8],
+        "samples_32": samples[32],
         "sf": SF_DIR,
     }
 

@@ -317,6 +317,17 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     ed_ckpt = StageCheckpoint(out_dir, "edges_raw", h, cfg.num_parts)
     edges_schema = EDGES_SCHEMA.append(pa.field("part", pa.int32()))
 
+    def _ed_extras(t: pa.Table) -> dict:
+        """Per-part counters, persisted in the manifest (zero extra jobs)."""
+        tc = pc.equal(t["kind"], "tcand")
+        salt = pc.and_(tc, pc.equal(t["url_a"], "_salted_block"))
+        n_salt = pc.sum(salt).as_py() or 0
+        n_tc = (pc.sum(tc).as_py() or 0) - n_salt
+        return {"tcand": n_tc, "salted": n_salt,
+                "direct": t.num_rows - n_tc - n_salt}
+
+    ed_ckpt.extras_fn = _ed_extras
+
     # prune at the read: text_norm (the dominant column) never enters the
     # edge exchange — Ray pushes select_columns into the Parquet scan
     _BLOCK_COLS = ["url", "modality", "content_hash", "simhash", "text_len",
@@ -342,6 +353,10 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     edges_raw = _checkpointed_stage(ed_builder, ed_filter, ed_ckpt,
                                     edges_schema, metrics, exchange="hash")
     ed_ckpt.write_lineage({})
+    ed_totals = ed_ckpt.manifest_totals()
+    metrics.add("edges_raw", "direct_edges", ed_totals.get("direct", 0))
+    metrics.add("edges_raw", "tcand_rows", ed_totals.get("tcand", 0))
+    metrics.add("edges_raw", "salted_hot_bands", ed_totals.get("salted", 0))
     _mark("edges_raw")
 
     # --- Stage 2b: text candidate verification (distributed join, D3/F1) ---
@@ -371,7 +386,11 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     fp_ckpt_dirs = [fp_ckpt.dir] + list(extra_fingerprint_ckpts or [])
 
     def tv_builder(cands):  # noqa: ANN001
-        if cands.count() == 0:  # empty groupby crashes the shuffle
+        # no candidate anywhere -> skip the join DAG (manifest check, free;
+        # a 0-row groupby is safe under the sort strategy regardless).
+        # Manifests lacking the extras counters default to "might have
+        # candidates" — never a false skip.
+        if ed_totals["rows"] == 0 or ed_totals.get("tcand", 1) == 0:
             return rd.from_arrow(edges_schema.empty_table())
         needs = cands.map_batches(
             explode_needs(cfg.num_parts, cfg.num_parts, "url_a", "url_b"),
@@ -412,16 +431,9 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     text_edges = _checkpointed_stage(tv_builder, tv_filter, tv_ckpt,
                                      edges_schema, metrics)
     tv_ckpt.write_lineage({})
-    # observability (distributed counts over the checkpoint-backed relation,
-    # never driver loops): candidate volume + hot-band salting sentinels
-    metrics.add("edges_text", "tcand_rows", edges_raw.map_batches(
-        lambda t: t.filter(pc.and_(pc.equal(t["kind"], "tcand"),
-                                   pc.not_equal(t["url_a"], "_salted_block"))),
-        batch_format="pyarrow", zero_copy_batch=True).count())
-    metrics.add("edges_text", "salted_hot_bands", edges_raw.map_batches(
-        lambda t: t.filter(pc.equal(t["url_a"], "_salted_block")),
-        batch_format="pyarrow", zero_copy_batch=True).count())
-    metrics.add("edges_text", "verified_edges", text_edges.count())
+    # observability comes from checkpoint manifests — zero extra jobs
+    tv_rows = tv_ckpt.manifest_totals()["rows"]
+    metrics.add("edges_text", "verified_edges", tv_rows)
     _mark("edges_text")
 
     direct_edges = edges_raw.map_batches(
@@ -434,7 +446,9 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
 
     all_edges = direct_edges.union(text_edges)
     all_edges = all_edges.select_columns(["url_a", "url_b", "score", "kind"])
-    if all_edges.count() == 0:  # hash-shuffle groupby crashes on empty input
+    # emptiness from manifests (free) — dedup runs under the sort strategy,
+    # which tolerates 0-row inputs, but skipping the DAG is cheaper still
+    if ed_totals.get("direct", ed_totals["rows"]) + tv_rows == 0:
         edges = rd.from_arrow(EDGES_SCHEMA.empty_table())
     else:
         edges = dedup_edges(all_edges.repartition(max(2, cfg.shuffle_blocks // 2)))
@@ -454,7 +468,9 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         edges.write_parquet(edges_dir)
         edges = rd.read_parquet(edges_dir)
         _mark("edges_write")
-        clusters = assign_clusters(fingerprints, edges)
+        from ..stages.clustering import assign_clusters_with_meta
+
+        clusters, _comp, _meta = assign_clusters_with_meta(fingerprints, edges)
         _mark("clusters_build")
         clusters_dir = os.path.join(out_dir, "clusters")
         shutil.rmtree(clusters_dir, ignore_errors=True)
@@ -462,26 +478,16 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         clusters = rd.read_parquet(clusters_dir)
         _mark("clusters_write")
         pq.write_table(metrics.table(), os.path.join(out_dir, "metrics.parquet"))
-        # A8 report sink: pick the top-k cluster ids with a distributed
-        # aggregate first, then pull ONLY those clusters' member rows to the
-        # driver (edges are small relative to the corpus)
-        from ray.data.aggregate import Max
-
+        # A8 report sink: top-k cluster ids come from the driver-side meta
+        # map (already O(clusters)) — no re-aggregation job; only the top
+        # clusters' member rows and their edges are ever collected
         from ..functions.report import render_cluster_report
 
-        if edges.count() > 0:
-            top = (
-                clusters.map_batches(
-                    lambda t: t.select(["cluster_id", "cluster_size"]).filter(
-                        pc.greater(t["cluster_size"], 1)),
-                    batch_format="pyarrow",
-                )
-                .groupby("cluster_id").aggregate(Max("cluster_size", alias_name="sz"))
-                .sort("sz", descending=True).limit(20)
-            )
-            top_ids = set(top.to_pandas()["cluster_id"])
-        else:
-            top_ids = set()
+        top_ids = set(
+            cid for cid, _ in sorted(_meta.items(),
+                                     key=lambda kv: (-kv[1][1], kv[0]))[:20]
+            if _meta[cid][1] > 1
+        )
         ids_ref = ray.put(frozenset(top_ids))
 
         def top_members(t: pa.Table) -> pa.Table:

@@ -84,64 +84,78 @@ def make_cluster_assigner(comp_ref, meta_ref):  # noqa: ANN001
 def cluster_meta(fingerprints_ds, comp: dict) -> dict:  # noqa: ANN001
     """cluster_id -> (min warc_ts, member count).
 
-    Only urls that appear in some edge are in ``comp`` (everything else is a
-    singleton with default meta), so the corpus is filtered to cluster
-    members *inside* ``map_batches`` (broadcast membership set) before
-    anything reaches the driver — driver traffic is O(cluster members), not
-    O(corpus)."""
+    PARTIAL-AGGREGATE shape (no shuffle): each batch folds its member rows
+    into at most one (min_ts, n) partial per cluster touched, and the driver
+    merges the tiny partial relation — O(clusters) driver traffic, zero
+    exchanges. (The previous groupby-aggregate version paid a full shuffle
+    job for the same O(clusters) result.)"""
     import ray
 
-    from ray.data.aggregate import Count, Min
-
-    if not comp:  # no edges -> all singletons (and empty-input groupby is
-        return {}  # a hash-shuffle crash)
+    if not comp:  # no edges -> all singletons
+        return {}
     comp_ref = ray.put(comp)
 
-    class MemberProject:
-        """Filter to cluster members and project (cluster_id, ts) — the
-        min/count aggregation itself runs as a distributed groupby over the
-        member rows, so the driver only receives one row per cluster."""
-
+    class MetaPartial:
         def __init__(self, ref) -> None:  # noqa: ANN001
             self._comp = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            cids = [self._comp.get(u) for u in batch["url"].to_pylist()]
-            mask = pa.array([c is not None for c in cids])
-            t = pa.table(
+            comp_m = self._comp
+            d: dict[str, list] = {}
+            for u, t in zip(batch["url"].to_pylist(),
+                            batch["warc_ts"].cast(pa.int64()).to_pylist()):
+                cid = comp_m.get(u)
+                if cid is None:
+                    continue
+                cur = d.get(cid)
+                if cur is None:
+                    d[cid] = [t, 1]
+                else:
+                    if t < cur[0]:
+                        cur[0] = t
+                    cur[1] += 1
+            items = sorted(d.items())
+            return pa.table(
                 {
-                    "cluster_id": pa.array(
-                        [c for c in cids if c is not None], pa.string()),
-                    "ts": batch["warc_ts"].cast(pa.int64()).filter(mask),
+                    "cluster_id": pa.array([k for k, _ in items], pa.string()),
+                    "min_ts": pa.array([v[0] for _, v in items], pa.int64()),
+                    "n": pa.array([v[1] for _, v in items], pa.int64()),
                 }
             )
-            return t
 
-    rows = fingerprints_ds.select_columns(["url", "warc_ts"]).map_batches(
-        MemberProject, fn_constructor_args=(comp_ref,),
+    partials = fingerprints_ds.select_columns(["url", "warc_ts"]).map_batches(
+        MetaPartial, fn_constructor_args=(comp_ref,),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
     )
-    agg = rows.groupby("cluster_id").aggregate(
-        Min("ts", alias_name="min_ts"), Count(alias_name="n"))
     meta: dict[str, tuple[int, int]] = {}
-    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+    for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for cid, mt, n in zip(b["cluster_id"].to_pylist(),
                               b["min_ts"].to_pylist(), b["n"].to_pylist()):
-            meta[cid] = (mt, n)
+            cur = meta.get(cid)
+            meta[cid] = (mt, n) if cur is None else (min(cur[0], mt), cur[1] + n)
     return meta
 
 
 def assign_clusters(fingerprints_ds, edges_ds):  # noqa: ANN001
     """fingerprints + edges -> clusters Dataset (url, cluster_id, size,
     is_original, warc_ts)."""
+    ds, _, _ = assign_clusters_with_meta(fingerprints_ds, edges_ds)
+    return ds
+
+
+def assign_clusters_with_meta(fingerprints_ds, edges_ds):  # noqa: ANN001
+    """Like :func:`assign_clusters`, but also returns (comp, meta) so the
+    caller (e.g. the report sink) can pick top clusters driver-side without
+    re-aggregating the clusters relation."""
     import ray
 
     comp = collect_components(edges_ds)
     meta = cluster_meta(fingerprints_ds, comp)
     comp_ref = ray.put(comp)
     meta_ref = ray.put(meta)
-    return fingerprints_ds.select_columns(["url", "warc_ts"]).map_batches(
+    ds = fingerprints_ds.select_columns(["url", "warc_ts"]).map_batches(
         make_cluster_assigner(comp_ref, meta_ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    return ds, comp, meta

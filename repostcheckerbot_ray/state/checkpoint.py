@@ -40,6 +40,10 @@ class StageCheckpoint:
         self.stage = stage
         self.cfg_hash = cfg_hash
         self.num_parts = num_parts
+        # optional per-part counter hook: fn(group_table) -> {name: int},
+        # persisted in the manifest so stage observability costs ZERO extra
+        # jobs (metrics are read back from manifests, and survive resume)
+        self.extras_fn = None
         os.makedirs(self.dir, exist_ok=True)
 
     def _manifest_path(self, part: int) -> str:
@@ -74,6 +78,8 @@ class StageCheckpoint:
             "rows": table.num_rows,
             "config_hash": self.cfg_hash,
         }
+        if self.extras_fn is not None:
+            rec["extras"] = {k: int(v) for k, v in self.extras_fn(table).items()}
         mtmp = self._manifest_path(part) + f".tmp-{uuid.uuid4().hex}"
         with open(mtmp, "w") as f:
             json.dump(rec, f)
@@ -100,6 +106,18 @@ class StageCheckpoint:
             )
 
         return write_group
+
+    def manifest_totals(self) -> dict:
+        """Summed per-part manifest counters: {'rows': N, <extras>: ...} —
+        stage metrics for free (no Ray job), resume-safe."""
+        tot: dict = {"rows": 0}
+        for p in self.completed_parts():
+            with open(self._manifest_path(p)) as f:
+                m = json.load(f)
+            tot["rows"] += m.get("rows", 0)
+            for k, v in m.get("extras", {}).items():
+                tot[k] = tot.get(k, 0) + v
+        return tot
 
     def write_lineage(self, extra: dict) -> None:
         """Stage-level _lineage.json (written under this stage's checkpoint
