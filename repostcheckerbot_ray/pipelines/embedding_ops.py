@@ -109,15 +109,46 @@ def knn_brute_force(sf_dir: str, k: int = 10, query_ids=DEFAULT_QUERY_IDS):  # n
     )
 
 
+def _kmeans_fit(vecs: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means on a sample: evenly-spaced init over
+    the (deterministic) row order, Lloyd iterations with cosine assignment,
+    centroids re-normalized each round. Pure numpy; the sample is small by
+    construction so this runs on the driver — the ASSIGNMENT of the full
+    corpus stays distributed (one matmul per batch)."""
+    idx = np.linspace(0, len(vecs) - 1, num=min(k, len(vecs))).astype(int)
+    cents = vecs[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(vecs @ cents.T, axis=1)
+        new = cents.copy()
+        for j in range(len(cents)):
+            members = vecs[assign == j]
+            if len(members):
+                new[j] = members.mean(axis=0)
+        new = _normalize(new)
+        if np.allclose(new, cents, atol=1e-9):
+            break
+        cents = new
+    return cents
+
+
+def _sample_matrix(sf_dir: str, n: int = 4096) -> np.ndarray:
+    """First-n vectors in file order (deterministic) as the k-means sample."""
+    rows = []
+    for b in _read_embeddings(sf_dir).limit(n).iter_batches(
+            batch_size=1024, batch_format="pyarrow"):
+        rows.append(_batch_matrix(b))
+    return _normalize(np.vstack(rows))
+
+
 def knn_ivf(sf_dir: str, k: int = 10, query_ids=DEFAULT_QUERY_IDS,  # noqa: ANN001
             n_centroids: int = 16, nprobe: int = 4):
-    """IVF-bucketed approximate top-k: centroids = the n_centroids vectors
-    with smallest vec_id (deterministic stand-in for a k-means fit —
-    documented approximation), bucket = argmax centroid cosine; each query
+    """IVF-bucketed approximate top-k: centroids from a deterministic
+    sampled spherical k-means fit (driver-side fit over ≤4096 vectors;
+    distributed assignment), bucket = argmax centroid cosine; each query
     probes its nprobe nearest buckets only."""
     import ray
 
-    cents, _ = _query_matrix(sf_dir, range(n_centroids))
+    cents = _kmeans_fit(_sample_matrix(sf_dir), n_centroids)
     q, qids = _query_matrix(sf_dir, query_ids)
     probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     ref = ray.put((cents, q, qids, probe))

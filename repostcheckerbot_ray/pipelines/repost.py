@@ -78,14 +78,12 @@ class RepostConfig:
     # shuffle/write tasks that run concurrently (an actor pool that reserves
     # every CPU starves the downstream Sort and the pipeline stalls)
     fingerprint_concurrency: tuple | int | None = None
-    checkpoint: bool = True
     extra: dict = field(default_factory=dict)
 
     # fields that tune execution but cannot change RESULTS; excluded from
     # the checkpoint-invalidation hash so a run can resume at a different
     # parallelism level / batch size without rescoring completed blocks
-    _TUNING_FIELDS = ("batch_size", "shuffle_blocks", "fingerprint_concurrency",
-                      "checkpoint")
+    _TUNING_FIELDS = ("batch_size", "shuffle_blocks", "fingerprint_concurrency")
 
     def hash(self) -> str:
         d = asdict(self)
