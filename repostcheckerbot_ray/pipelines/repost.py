@@ -521,7 +521,8 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
 
 def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # noqa: ANN001
                      cfg: RepostConfig | None = None,
-                     write_outputs: bool = True) -> dict:
+                     write_outputs: bool = True,
+                     tombstones=None) -> dict:
     """Incremental/delta run (A2, SURVEY.md §2.G): fingerprint ONLY the new
     pages, then block + score them against (delta ∪ persisted history
     fingerprints) — history is read back from its per-part checkpoint, never
@@ -583,5 +584,6 @@ def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # no
         delta_pages_path, out_dir, cfg, write_outputs=write_outputs,
         extra_fingerprints=history,
         extra_fingerprint_ckpts=[hist_ckpt_dir],
+        tombstones=tombstones,
         _fp_ckpt_cls=_DeltaFilterCheckpoint,
     )

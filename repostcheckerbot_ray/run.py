@@ -22,6 +22,16 @@ def main(argv=None) -> int:  # noqa: ANN001
     p.add_argument("--max-block", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--ttl-cutoff-us", type=int, default=None)
+    p.add_argument("--source-tag", default="new",
+                   help="provenance tag for rows without a source column "
+                        "(top/hot/new, B11)")
+    p.add_argument("--tombstones", default=None,
+                   help="parquet file/dir with a url column of dead urls "
+                        "(D5 anti-join)")
+    p.add_argument("--delta-against", default=None, metavar="HISTORY_OUT",
+                   help="incremental mode (A2): block+score --pages against "
+                        "the fingerprint history checkpointed under this "
+                        "prior --out dir, without re-fingerprinting it")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="local session size (default: all cores)")
     p.add_argument("--stage", default=None,
@@ -46,14 +56,26 @@ def main(argv=None) -> int:  # noqa: ANN001
             print(json.dumps({"stage": args.stage, "rows": out.count()}))
             return 0
 
-        from .pipelines.repost import RepostConfig, run_repost_pipeline
+        from .pipelines.repost import (
+            RepostConfig,
+            run_repost_delta,
+            run_repost_pipeline,
+        )
 
         cfg = RepostConfig(
             threshold=args.threshold, num_parts=args.num_parts,
             max_block=args.max_block, batch_size=args.batch_size,
-            ttl_cutoff_us=args.ttl_cutoff_us,
+            ttl_cutoff_us=args.ttl_cutoff_us, source_tag=args.source_tag,
         )
-        res = run_repost_pipeline(args.pages, args.out, cfg)
+        tombstones = None
+        if args.tombstones:
+            tombstones = rd.read_parquet(args.tombstones, columns=["url"])
+        if args.delta_against:
+            res = run_repost_delta(args.delta_against, args.pages, args.out,
+                                   cfg, tombstones=tombstones)
+        else:
+            res = run_repost_pipeline(args.pages, args.out, cfg,
+                                      tombstones=tombstones)
         summary = {
             "edges": res["edges"].count(),
             "clusters": res["clusters"].count(),
