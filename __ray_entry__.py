@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": corpus_ops.token_counts,                  # text analysis
         "char_counts": corpus_ops.char_counts,
         "ttl_filter_events": corpus_ops.ttl_filter_events,        # B9/E5
+        "repetition_stats": corpus_ops.repetition_stats,          # quality
         "event_window_counts": corpus_ops.event_window_counts,    # windowed agg
         # dedup family (cluster outputs SQL-predictable via exact-copy union)
         "minhash_dedup_clusters": corpus_ops.minhash_dedup_clusters,  # E4/D3
@@ -185,6 +186,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ttl_filter_events": (
             f"SELECT event_id, ts FROM events WHERE ts >= TIMESTAMP '{corpus_ops.TTL_CUTOFF}'"
+        ),
+        "repetition_stats": (
+            "WITH toks AS ("
+            "  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok"
+            "  FROM documents WHERE length(trim(text)) > 0),"
+            "s AS (SELECT doc_id, COUNT(*) AS n_tokens,"
+            "      COUNT(DISTINCT tok) AS n_distinct FROM toks GROUP BY doc_id) "
+            "SELECT d.doc_id,"
+            "  CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,"
+            "  CAST(COALESCE(s.n_distinct, 0) AS BIGINT) AS n_distinct,"
+            "  COALESCE(s.n_distinct, 0) * 2 < COALESCE(s.n_tokens, 0) AS is_repetitive "
+            "FROM documents d LEFT JOIN s USING(doc_id)"
         ),
         "event_window_counts": (
             "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "

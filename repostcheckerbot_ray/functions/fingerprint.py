@@ -122,10 +122,15 @@ def band_keys_batch(signatures: np.ndarray) -> np.ndarray:
 
 
 def simhash64(shingles: np.ndarray) -> int:
-    """64-bit SimHash over shingle hashes (unit weights)."""
+    """64-bit SimHash over shingle hashes (unit weights).
+
+    Bit matrix via one ``unpackbits`` over the little-endian byte view
+    (bit i of word w lands at column i) — ~2x faster than 64 shift-and-mask
+    passes; result is bit-identical (pinned by test_functions)."""
     if len(shingles) == 0:
         return 0
-    bits = (shingles[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1)
+    le = np.ascontiguousarray(shingles, dtype="<u8").view(np.uint8)
+    bits = np.unpackbits(le.reshape(-1, 8), axis=1, bitorder="little")
     votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(shingles)
     return int(np.packbits((votes > 0)[::-1]).view(">u8")[0])
 

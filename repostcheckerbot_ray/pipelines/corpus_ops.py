@@ -159,6 +159,45 @@ def char_counts(sf_dir: str):
     return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def repetition_stats(sf_dir: str):
+    """C4-style repetition quality signal, fully vectorized: per doc, total
+    vs distinct whitespace-token counts and a repetitive flag
+    (distinct*2 < total). Token identity matches the SQL oracle's
+    regex-split exactly; all outputs are integers/bools so the value-hash
+    compare is exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        toks = pc.utf8_split_whitespace(trimmed).combine_chunks()
+        counts = toks.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        # empty/whitespace-only docs: Arrow yields [''] — zero them
+        empty = pc.equal(pc.utf8_length(trimmed), 0).to_numpy(zero_copy_only=False)
+        counts[empty] = 0
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(batch.num_rows), toks.value_lengths().to_numpy(zero_copy_only=False))
+        keep = np.repeat(~empty, toks.value_lengths().to_numpy(zero_copy_only=False))
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        if len(flat):
+            _, codes = np.unique(flat, return_inverse=True)
+            pair = doc_idx.astype(np.int64) * (codes.max() + 1) + codes
+            uniq_pairs = np.unique(pair)
+            distinct = np.bincount((uniq_pairs // (codes.max() + 1)).astype(np.int64),
+                                   minlength=batch.num_rows)
+        else:
+            distinct = np.zeros(batch.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(counts, pa.int64()),
+                "n_distinct": pa.array(distinct.astype(np.int64), pa.int64()),
+                "is_repetitive": pa.array(distinct * 2 < counts),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def ttl_filter_events(sf_dir: str):
     """B9/E5 generalization: timestamp-predicate filter at the read."""
     ds = _read(sf_dir, "events", ["event_id", "ts"])
