@@ -30,17 +30,48 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions.fingerprint import token_hash
+from ..functions.fingerprint import splitmix64, token_hash
+
+
+def key_parts(arr, num_parts: int) -> np.ndarray:  # noqa: ANN001
+    """Partition ids for a key column. Integer keys hash fully vectorized
+    (splitmix64 over the raw values — the text side of the union join is
+    corpus-sized, so a per-row Python hash there would be a hot-path loop);
+    string keys fall back to the per-row token hash (used only on
+    candidate-sized relations in the flagship path)."""
+    if pa.types.is_integer(arr.type):
+        v = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return (splitmix64(v) % np.uint64(num_parts)).astype(np.int32)
+    return np.array([token_hash(str(x)) % num_parts for x in arr.to_pylist()],
+                    dtype=np.int32)
 
 
 def pair_part_of(a, b, num_parts: int) -> int:  # noqa: ANN001
     """Deterministic pair partition — independent of which band discovered
     the pair, so resume filtering and exchange keying agree."""
+    if isinstance(a, (int, np.integer)):
+        x = splitmix64(np.array([a], dtype=np.uint64))
+        y = splitmix64(np.array([int(b) + 0x9E37, ], dtype=np.uint64))
+        return int((x ^ y)[0]) % num_parts
     return token_hash(f"{a}\x00{b}") % num_parts
+
+
+def pair_parts(a_arr, b_arr, num_parts: int) -> np.ndarray:  # noqa: ANN001
+    """Vectorized pair_part_of over two key columns (matches the scalar
+    function exactly for both key types)."""
+    if pa.types.is_integer(a_arr.type):
+        x = splitmix64(a_arr.to_numpy(zero_copy_only=False).astype(np.uint64))
+        y = splitmix64(b_arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+                       + np.uint64(0x9E37))
+        return ((x ^ y) % np.uint64(num_parts)).astype(np.int32)
+    return np.array(
+        [token_hash(f"{a}\x00{b}") % num_parts
+         for a, b in zip(a_arr.to_pylist(), b_arr.to_pylist())], dtype=np.int32)
 
 
 def explode_needs(num_parts_text: int, num_parts_pair: int,
@@ -48,19 +79,22 @@ def explode_needs(num_parts_text: int, num_parts_pair: int,
     """pairs batch -> two need rows per pair: (part, pair_part, k, a, b)."""
 
     def f(batch: pa.Table) -> pa.Table:
-        A = batch[a_col].to_pylist()
-        B = batch[b_col].to_pylist()
+        A = batch[a_col].combine_chunks()
+        B = batch[b_col].combine_chunks()
         key_type = batch[a_col].type
-        pp = [pair_part_of(x, y, num_parts_pair) for x, y in zip(A, B)]
-        part_a = [token_hash(str(x)) % num_parts_text for x in A]
-        part_b = [token_hash(str(y)) % num_parts_text for y in B]
+        pp = pair_parts(A, B, num_parts_pair)
+        part_a = key_parts(A, num_parts_text)
+        part_b = key_parts(B, num_parts_text)
+        both_k = pa.concat_arrays([A, B])
+        both_a = pa.concat_arrays([A, A])
+        both_b = pa.concat_arrays([B, B])
         return pa.table(
             {
-                "part": pa.array(part_a + part_b, pa.int32()),
-                "pair_part": pa.array(pp + pp, pa.int32()),
-                "k": pa.array(A + B, key_type),
-                "a": pa.array(A + A, key_type),
-                "b": pa.array(B + B, key_type),
+                "part": pa.array(np.concatenate([part_a, part_b]), pa.int32()),
+                "pair_part": pa.array(np.concatenate([pp, pp]), pa.int32()),
+                "k": both_k.cast(key_type),
+                "a": both_a.cast(key_type),
+                "b": both_b.cast(key_type),
             }
         )
 
@@ -128,7 +162,6 @@ def attach_via_union(pairs_ds, texts_ds, id_col: str, text_col: str,  # noqa: AN
     itself is routed through the SAME keyed exchange as the need rows
     (padded union -> groupby(part) -> in-group hash join). Text bytes move
     once, pruned to (id, text); need rows are pair-sized."""
-    key_type = None
 
     def pad_needs(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -137,10 +170,9 @@ def attach_via_union(pairs_ds, texts_ds, id_col: str, text_col: str,  # noqa: AN
         ).append_column("is_text", pa.array([False] * n, pa.bool_()))
 
     def pad_texts(batch: pa.Table) -> pa.Table:
-        ks = batch[id_col]
+        ks = batch[id_col].combine_chunks()
         n = batch.num_rows
-        part = pa.array([token_hash(str(x)) % num_parts for x in ks.to_pylist()],
-                        pa.int32())
+        part = pa.array(key_parts(ks, num_parts), pa.int32())
         return pa.table(
             {
                 "part": part,
