@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttl_filter_events": corpus_ops.ttl_filter_events,        # B9/E5
         "repetition_stats": corpus_ops.repetition_stats,          # quality
         "event_window_counts": corpus_ops.event_window_counts,    # windowed agg
+        "session_counts": corpus_ops.session_counts,              # session windows
         # dedup family (cluster outputs SQL-predictable via exact-copy union)
         "minhash_dedup_clusters": corpus_ops.minhash_dedup_clusters,  # E4/D3
         "simhash_dedup_clusters": corpus_ops.simhash_dedup_clusters,
@@ -243,6 +244,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
             "FROM all_vecs a JOIN all_vecs b ON a.label = b.label AND a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.99"
+        ),
+        "session_counts": (
+            "WITH e AS ("
+            "  SELECT user_id, ts, event_id,"
+            "    CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE"
+            "         THEN 1 ELSE 0 END AS brk"
+            "  FROM events WINDOW w AS ("
+            "    PARTITION BY user_id ORDER BY ts, event_id)),"
+            "s AS ("
+            "  SELECT user_id,"
+            "    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            "      ROWS UNBOUNDED PRECEDING) AS session_id"
+            "  FROM e) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id,"
+            "  CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM s GROUP BY user_id, session_id"
         ),
         "tombstone_anti_join": (
             "SELECT event_id, user_id FROM events WHERE user_id NOT IN "

@@ -208,6 +208,37 @@ def ttl_filter_events(sf_dir: str):
     )
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def session_counts(sf_dir: str):
+    """Gap-based session windows per user (the streaming-session analogue
+    on a batch engine): events sorted per user by (ts, event_id); a gap
+    > 30 min starts a new session; output one row per (user, session) with
+    its event count. Keyed exchange on user_id (bounded entity groups);
+    in-group sessionization is one numpy diff+cumsum."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sessions(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = g["user_id"][0].as_py()
+        brk = np.zeros(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            brk[1:] = (np.diff(ts) > SESSION_GAP_US).astype(np.int64)
+        sid = np.cumsum(brk)
+        counts = np.bincount(sid)
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * len(counts), pa.int64()),
+                "session_id": pa.array(np.arange(len(counts)), pa.int64()),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
 def event_window_counts(sf_dir: str):
     """Tumbling 1-day window count per event_type (streaming-shaped op on a
     batch engine: bucket column + grouped aggregate)."""
