@@ -91,6 +91,14 @@ def test_edges_above_threshold(pipeline_result):
     assert (e.loc[e["kind"] == "exact", "score"] == 100.0).all()
 
 
+def test_source_provenance_column(pipeline_result):
+    """B11: the provenance tag (≙ reference Location, database.py:754-759)
+    is carried through the fingerprint relation; default tag is 'new'."""
+    fp = pipeline_result["fingerprints"]
+    assert "source" in fp.columns
+    assert (fp["source"] == "new").all()
+
+
 def test_determinism_across_parallelism(ray_session, fixture_dir, tmp_path_factory):
     """Same clusters at a different batch size / fresh checkpoint dir
     (SURVEY.md §5.6)."""
