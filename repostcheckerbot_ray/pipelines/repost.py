@@ -460,20 +460,31 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
 
         # write once, hand back the on-disk dataset — consumers re-read
         # Parquet instead of re-running the dedup/assign DAG. Final output
-        # dirs are replaced wholesale (write_parquet appends otherwise).
+        # dirs are replaced wholesale (write_parquet appends otherwise);
+        # an all-empty dataset writes NO files, so seed an explicit empty
+        # part to keep the read-back contract.
+        def _write_dir(ds, path, schema):  # noqa: ANN001
+            shutil.rmtree(path, ignore_errors=True)
+            ds.write_parquet(path)
+            has_files = os.path.isdir(path) and any(
+                f.endswith(".parquet") for f in os.listdir(path))
+            if not has_files:
+                os.makedirs(path, exist_ok=True)
+                pq.write_table(schema.empty_table(),
+                               os.path.join(path, "part-empty.parquet"))
+            return rd.read_parquet(path)
+
         edges_dir = os.path.join(out_dir, "edges")
-        shutil.rmtree(edges_dir, ignore_errors=True)
-        edges.write_parquet(edges_dir)
-        edges = rd.read_parquet(edges_dir)
+        edges = _write_dir(edges, edges_dir, EDGES_SCHEMA)
         _mark("edges_write")
         from ..stages.clustering import assign_clusters_with_meta
 
         clusters, _comp, _meta = assign_clusters_with_meta(fingerprints, edges)
         _mark("clusters_build")
-        clusters_dir = os.path.join(out_dir, "clusters")
-        shutil.rmtree(clusters_dir, ignore_errors=True)
-        clusters.write_parquet(clusters_dir)
-        clusters = rd.read_parquet(clusters_dir)
+        from ..stages.clustering import CLUSTERS_SCHEMA
+
+        clusters = _write_dir(clusters, os.path.join(out_dir, "clusters"),
+                              CLUSTERS_SCHEMA)
         _mark("clusters_write")
         pq.write_table(metrics.table(), os.path.join(out_dir, "metrics.parquet"))
         # A8 report sink: top-k cluster ids come from the driver-side meta
@@ -486,24 +497,35 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
                                      key=lambda kv: (-kv[1][1], kv[0]))[:20]
             if _meta[cid][1] > 1
         )
-        ids_ref = ray.put(frozenset(top_ids))
+        if top_ids:
+            ids_ref = ray.put(frozenset(top_ids))
 
-        def top_members(t: pa.Table) -> pa.Table:
-            want = ray.get(ids_ref)
-            return t.filter(pa.array([c in want for c in t["cluster_id"].to_pylist()]))
+            def top_members(t: pa.Table) -> pa.Table:
+                want = ray.get(ids_ref)
+                return t.filter(pa.array(
+                    [c in want for c in t["cluster_id"].to_pylist()]))
 
-        cl_small = clusters.map_batches(top_members, batch_format="pyarrow").to_pandas()
-        # edges pruned to top-cluster members BEFORE leaving the cluster —
-        # the driver never materializes the full edge relation
-        member_ref = ray.put(frozenset(cl_small["url"]))
+            cl_small = clusters.map_batches(
+                top_members, batch_format="pyarrow").to_pandas()
+            # edges pruned to top-cluster members BEFORE leaving the
+            # cluster — the driver never materializes the full edge relation
+            member_ref = ray.put(frozenset(cl_small["url"]))
 
-        def member_edges(t: pa.Table) -> pa.Table:
-            want = ray.get(member_ref)
-            return t.filter(pa.array(
-                [a in want or b in want
-                 for a, b in zip(t["url_a"].to_pylist(), t["url_b"].to_pylist())]))
+            def member_edges(t: pa.Table) -> pa.Table:
+                want = ray.get(member_ref)
+                return t.filter(pa.array(
+                    [a in want or b in want
+                     for a, b in zip(t["url_a"].to_pylist(),
+                                     t["url_b"].to_pylist())]))
 
-        ed_small = edges.map_batches(member_edges, batch_format="pyarrow").to_pandas()
+            ed_small = edges.map_batches(
+                member_edges, batch_format="pyarrow").to_pandas()
+        else:  # no multi-member clusters (or empty corpus)
+            import pandas as pd
+
+            cl_small = pd.DataFrame(
+                columns=[f.name for f in CLUSTERS_SCHEMA])
+            ed_small = pd.DataFrame(columns=[f.name for f in EDGES_SCHEMA])
         with open(os.path.join(out_dir, "report.md"), "w") as f:
             f.write(render_cluster_report(cl_small, ed_small))
         _mark("report")

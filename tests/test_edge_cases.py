@@ -1,0 +1,79 @@
+"""Degenerate-input hardening for the flagship pipeline: empty corpora and
+fully-checkpointed no-op reruns exercise every manifest-based empty/skip
+guard (a 100-TB run WILL hit empty partitions and operator restarts)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from repostcheckerbot_ray.pipelines.repost import RepostConfig, run_repost_pipeline
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def test_empty_corpus(ray_session, tmp_path):
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    pq.write_table(PAGES_SCHEMA.empty_table(), str(pages / "part-0.parquet"))
+    res = run_repost_pipeline(str(pages), str(tmp_path / "out"),
+                              RepostConfig(num_parts=4))
+    assert res["fingerprints"].count() == 0
+    assert res["edges"].count() == 0
+    assert res["clusters"].count() == 0
+    assert os.path.exists(tmp_path / "out" / "report.md")
+
+
+def test_singletons_only_corpus(ray_session, tmp_path):
+    """No duplicates at all -> no edges, every url a singleton cluster."""
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    rows = pa.table(
+        {
+            "url": pa.array([f"https://s{i}.example/x" for i in range(6)]),
+            "warc_ts": pa.array([1_704_067_200_000_000 + i for i in range(6)],
+                                pa.timestamp("us")),
+            "html": pa.array([b""] * 6, pa.binary()),
+            "text": pa.array([f"totally unique document number {i} "
+                              f"with words w{i}a w{i}b w{i}c w{i}d w{i}e"
+                              for i in range(6)]),
+            "lang": pa.array(["en"] * 6),
+        }
+    )
+    pq.write_table(rows, str(pages / "part-0.parquet"))
+    res = run_repost_pipeline(str(pages), str(tmp_path / "out"),
+                              RepostConfig(num_parts=4))
+    cl = res["clusters"].to_pandas()
+    assert res["edges"].count() == 0
+    assert len(cl) == 6
+    assert (cl["cluster_size"] == 1).all()
+    assert cl["is_original"].all()
+
+
+def test_noop_rerun_resumes_everything(ray_session, fixture_dir, tmp_path):
+    """Re-running an already-complete out_dir must resume every partition of
+    every stage and produce identical clusters."""
+    import pandas as pd
+
+    cfg = RepostConfig(num_parts=8)
+    out = str(tmp_path / "out")
+    r1 = run_repost_pipeline(f"{fixture_dir}/pages", out, cfg)
+    c1 = r1["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
+    r2 = run_repost_pipeline(f"{fixture_dir}/pages", out, cfg)
+    c2 = r2["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(c1[["url", "cluster_id", "cluster_size"]],
+                                  c2[["url", "cluster_id", "cluster_size"]])
+    m = r2["metrics"].table().to_pandas()
+    for stage in ("fingerprints", "edges_raw", "edges_text"):
+        row = m[(m["stage"] == stage) & (m["counter"] == "parts_resumed")]
+        assert int(row["value"].iloc[0]) == cfg.num_parts, stage
