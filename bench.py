@@ -109,9 +109,14 @@ def run_bench() -> dict:
     timed("simhash_dedup", lambda: corpus_ops.simhash_dedup_clusters(SF_DIR))
     timed("exact_dedup_text", lambda: corpus_ops.exact_dedup_text(SF_DIR))
     timed("token_counts", lambda: corpus_ops.token_counts(SF_DIR))
+    timed("repetition_stats", lambda: corpus_ops.repetition_stats(SF_DIR))
     timed("text_analysis", lambda: corpus_ops.text_analysis(SF_DIR))
     timed("event_window_counts", lambda: corpus_ops.event_window_counts(SF_DIR))
+    timed("session_counts", lambda: corpus_ops.session_counts(SF_DIR))
+    timed("tombstone_anti_join", lambda: corpus_ops.tombstone_anti_join(SF_DIR))
+    timed("source_reclassify", lambda: corpus_ops.source_reclassify(SF_DIR))
     timed("knn_cosine", lambda: embedding_ops.knn_brute_force(SF_DIR))
+    timed("knn_ivf", lambda: embedding_ops.knn_ivf(SF_DIR))
     timed("embedding_dup_pairs", lambda: embedding_ops.embedding_dup_pairs(SF_DIR))
 
     result = {
