@@ -2,27 +2,35 @@
 
 End-to-end dataflow (SURVEY.md §3 "Engine lifecycle"):
 
-    read_parquet(pages)
-      → [TTL admission filter B9]                         (map, no shuffle)
-      → [FingerprintBatcher actor pool C1-C4/B1-B7]       (map, html dropped)
-      → [per-part D1 url-dedup + checkpoint write]        (shuffle #1: part)
-      → exact star edges D2/F4                            (shuffle #2: content_hash)
-      → text band explode → candidate gen → verify D3/F1  (shuffle #3: band_key)
-      → payload / chunked band scoring F2/F3              (same shuffle family)
-      → edge dedup D4                                     (shuffle #4: pair — edges only)
+    read_pages(pages)  [+ TTL admission filter B9]        (map, no shuffle)
+      → [FingerprintBatcher actor pool C1-C4/B1-B7/B11]   (map, html dropped)
+      → [per-part D1 url-dedup + checkpoint write]        (shuffle #1: url part)
+      → unified edge exchange: exact star edges D2/F4 +
+        text-band candidates D3 + payload/chunked F2/F3   (shuffle #2: band part)
+      → text verification D3/F1 via pair_join: need rows
+        against the co-partitioned fingerprint checkpoint (shuffle #3+#4:
+        url part, then pair part — candidate-sized rows only, zero text
+        bytes shuffled)
+      → edge dedup D4                                     (shuffle #5: pair — edges only)
       → union-find transitive closure E4                  (driver; edges ≪ corpus)
-      → clusters + edges + metrics + report write_parquet
+      → clusters (partial-agg meta, no shuffle) + edges + metrics +
+        report write_parquet
+
+Optional inputs: ``tombstones`` (D5 anti-join before blocking),
+``extra_fingerprints``/``extra_fingerprint_ckpts`` (A2 delta runs — see
+:func:`run_repost_delta`).
 
 Partitioning: ONE part key per stage family, always derivable *before* the
-stage's compute (hash64(url) % P for fingerprints, hash64(stage key) % P for
+stage's compute (hash64(url) % P for fingerprints, hash64(pair) % P for
 edge stages), so a resumed run filters each stage's input down to
 incomplete partitions and skips both compute and write for finished ones
 (state/checkpoint.py). A config change invalidates checkpoints via the
-config hash.
+config hash. Stage counters live in checkpoint manifests (zero extra jobs).
 
-Skew: hot exact-dup groups emit O(n) star edges (blocking.exact_star_edges);
-fuzzy bands collapse identical content to one representative and cap
-oversized blocks deterministically with a metric row (scoring_stage).
+Skew: hot exact-dup groups emit O(n) star edges; fuzzy band runs of every
+kind (text, payload, chunked) collapse identical content to one
+representative and are capped at max_block deterministically, surfaced via
+a sentinel metric — never silent (scoring_stage.make_part_scorer).
 """
 
 from __future__ import annotations
