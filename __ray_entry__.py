@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_analysis": corpus_ops.text_analysis,
         "ngram_jaccard_pairs": lambda sf: corpus_ops.ngram_jaccard_pairs(sf),
         "knn_ivf": lambda sf: embedding_ops.knn_ivf(sf),
+        "knn_lsh": lambda sf: embedding_ops.knn_lsh(sf),
         "repost_clusters": lambda sf: _flagship(sf)["clusters"],
         "repost_edges": lambda sf: _flagship(sf)["edges"],
         "repost_delta_clusters": _repost_delta,                  # A2/§2.G

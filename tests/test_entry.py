@@ -114,3 +114,17 @@ def test_knn_ivf_recall(entry_mod):
     i = set(zip(ivf["query_id"], ivf["neighbor_id"]))
     assert len(b) > 0
     assert len(b & i) / len(b) >= 0.5  # nprobe=4/16 buckets
+
+
+def test_knn_lsh_recall(entry_mod):
+    """Multi-table hyperplane-LSH approximation vs brute force. The bound is
+    corpus-calibrated: this table's true top-10 sims are only ~0.24-0.40
+    (weak concentration), so 8x8 tables scanning ~27% of vectors land
+    ~0.5 recall — about 2x better than a random 27% scan; the assertion
+    guards that LSH keeps beating coverage, not a tight-cluster ideal."""
+    brute = _to_pandas(entry_mod.queries()["knn_cosine"](SF_DIR))
+    lsh = _to_pandas(entry_mod.queries()["knn_lsh"](SF_DIR))
+    b = set(zip(brute["query_id"], brute["neighbor_id"]))
+    l = set(zip(lsh["query_id"], lsh["neighbor_id"]))
+    assert len(b) > 0
+    assert len(b & l) / len(b) >= 0.4
