@@ -192,6 +192,7 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
                         write_outputs: bool = True,
                         extra_fingerprint_ckpts=None,
                         extra_fingerprints=None,
+                        extra_edges=None,
                         tombstones=None,
                         _fp_ckpt_cls=None) -> dict:  # noqa: ANN001
     """Run the flagship pipeline; returns dict with fingerprints / edges /
@@ -279,10 +280,32 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
 
     # --- Delta mode (A2): union persisted history fingerprints, never
     # re-fingerprinted (reference resolves each new post against accumulated
-    # history, /root/reference/app.py:137,210; database.py:328-358) ---------
+    # history, /root/reference/app.py:137,210; database.py:328-358). Rows
+    # are tagged is_new so the edge scorer skips pure-history band runs and
+    # emits only new-touching pairs; the history edge relation is unioned
+    # back in below — delta cost ∝ delta + touched blocks. ------------------
+    # The skip optimization is only sound when the history run's EDGE
+    # relation is available to re-use (extra_edges); otherwise history rows
+    # stay untagged (default is_new=True in blocking) and the union is
+    # fully re-scored — slower, still correct.
+    delta_mode = extra_fingerprints is not None and extra_edges is not None
+    delta_fp = fingerprints if delta_mode else None  # pre-union delta relation
     if extra_fingerprints is not None:
-        fingerprints = fingerprints.union(
-            extra_fingerprints.select_columns([f.name for f in fp_schema]))
+        cols = [f.name for f in fp_schema]
+        if delta_mode:
+            def _tag(val: bool):
+                def f(t: pa.Table) -> pa.Table:
+                    return t.append_column(
+                        "is_new", pa.array([val] * t.num_rows, pa.bool_()))
+                return f
+
+            fingerprints = fingerprints.select_columns(cols).map_batches(
+                _tag(True), batch_format="pyarrow", zero_copy_batch=True,
+            ).union(extra_fingerprints.select_columns(cols).map_batches(
+                _tag(False), batch_format="pyarrow", zero_copy_batch=True))
+        else:
+            fingerprints = fingerprints.union(
+                extra_fingerprints.select_columns(cols))
 
     # --- Tombstone anti-join (D5, database.py:650-676): dead urls leave the
     # corpus before blocking — edges/clusters can never reference them.
@@ -312,6 +335,16 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         fingerprints = fingerprints.map_batches(
             _DropDead, fn_constructor_args=(dead_ref,),
             batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+        if extra_edges is not None:  # history edges must not resurrect dead urls
+            def _drop_dead_edges(t: pa.Table) -> pa.Table:
+                d = dead_set
+                return t.filter(pa.array(
+                    [a not in d and b not in d
+                     for a, b in zip(t["url_a"].to_pylist(),
+                                     t["url_b"].to_pylist())]))
+
+            extra_edges = extra_edges.map_batches(
+                _drop_dead_edges, batch_format="pyarrow", zero_copy_batch=True)
 
     # --- Stage 2: unified edge exchange (D2+D3+F2+F3 in ONE shuffle) --------
     # All modalities explode into one kind-salted block-row relation; a
@@ -338,10 +371,45 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     # edge exchange — Ray pushes select_columns into the Parquet scan
     _BLOCK_COLS = ["url", "modality", "content_hash", "simhash", "text_len",
                    "payload_hash", "chunk_hashes", "band_keys"]
+    if delta_mode:
+        _BLOCK_COLS.append("is_new")
+
+    # Delta band pruning: history block rows whose band contains NO delta
+    # member can never emit a pair (the scorer would skip their runs), so
+    # they are dropped BEFORE the exchange — the shuffle moves delta rows
+    # plus history rows in touched bands only. The delta band-key set is
+    # O(delta x bands) and broadcast once (assumption: delta ≪ history —
+    # the incremental-ingest contract; at sizes where even that set is too
+    # big, persist the band relation per part instead, see SCALE.md).
+    delta_band_ref = None
+    if delta_mode:
+        import numpy as _np
+
+        dk_rows = explode_block_rows(
+            delta_fp.select_columns([c for c in _BLOCK_COLS if c != "is_new"]),
+            num_parts=cfg.num_parts)
+        chunks = [b["band_key"].to_numpy(zero_copy_only=False)
+                  for b in dk_rows.select_columns(["band_key"]).iter_batches(
+                      batch_size=262144, batch_format="pyarrow")]
+        delta_bands = (_np.unique(_np.concatenate(chunks)) if chunks
+                       else _np.empty(0, dtype=_np.uint64))
+        metrics.add("edges_raw", "delta_bands", len(delta_bands))
+        delta_band_ref = ray.put(delta_bands)
 
     def ed_filter(done: set[int]):
         rows = explode_block_rows(fingerprints.select_columns(_BLOCK_COLS),
                                   num_parts=cfg.num_parts)
+        if delta_band_ref is not None:
+            import numpy as _np
+
+            def prune(t: pa.Table) -> pa.Table:
+                bands = ray.get(delta_band_ref)
+                bk = t["band_key"].to_numpy(zero_copy_only=False)
+                new = t["is_new"].to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(new | _np.isin(bk, bands)))
+
+            rows = rows.map_batches(prune, batch_format="pyarrow",
+                                    zero_copy_batch=True)
         if not done:
             return rows
         done_arr = pa.array(sorted(done), pa.int32())
@@ -452,9 +520,15 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
 
     all_edges = direct_edges.union(text_edges)
     all_edges = all_edges.select_columns(["url_a", "url_b", "score", "kind"])
+    n_extra_edges = 0
+    if extra_edges is not None:  # delta mode: persisted history edges
+        n_extra_edges = extra_edges.count()
+        all_edges = all_edges.union(
+            extra_edges.select_columns(["url_a", "url_b", "score", "kind"]))
+        metrics.add("edge_dedup", "history_edges", n_extra_edges)
     # emptiness from manifests (free) — dedup runs under the sort strategy,
     # which tolerates 0-row inputs, but skipping the DAG is cheaper still
-    if ed_totals.get("direct", ed_totals["rows"]) + tv_rows == 0:
+    if ed_totals.get("direct", ed_totals["rows"]) + tv_rows + n_extra_edges == 0:
         edges = rd.from_arrow(EDGES_SCHEMA.empty_table())
     else:
         edges = dedup_edges(all_edges.repartition(max(2, cfg.shuffle_blocks // 2)))
@@ -564,6 +638,12 @@ def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # no
     is co-partitioned: delta fingerprint parts are checked against the
     matching history checkpoint part FILE (url column only), zero history
     shuffle. Requires cfg.num_parts to match the history run's.
+
+    Cost model: history rows enter blocking tagged is_new=False, so the
+    scorer SKIPS band runs with no delta member and emits only
+    delta-touching pairs; history-internal edges are re-used from the
+    history run's edge relation (unioned before dedup) — delta compute is
+    proportional to the delta plus the blocks it touches, not to history.
     """
     import ray.data as rd
 
@@ -610,10 +690,15 @@ def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # no
 
             return write_group
 
+    hist_edges_dir = os.path.join(history_out_dir, "edges")
+    hist_edges = (rd.read_parquet(hist_edges_dir)
+                  if os.path.isdir(hist_edges_dir) else None)
+
     return run_repost_pipeline(
         delta_pages_path, out_dir, cfg, write_outputs=write_outputs,
         extra_fingerprints=history,
         extra_fingerprint_ckpts=[hist_ckpt_dir],
+        extra_edges=hist_edges,
         tombstones=tombstones,
         _fp_ckpt_cls=_DeltaFilterCheckpoint,
     )

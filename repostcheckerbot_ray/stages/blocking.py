@@ -198,6 +198,11 @@ BLOCK_ROW_SCHEMA = pa.schema(
         ("text_len", pa.uint32()),
         ("payload_hash", pa.uint64()),
         ("chunk_hashes", pa.list_(pa.uint64())),
+        # delta runs: False = persisted-history row. A band run with no new
+        # member is SKIPPED by the scorer (its pairs already exist in the
+        # history edge relation) — delta cost ∝ delta + touched blocks,
+        # not corpus (reference resolves only the new post, app.py:147-158).
+        ("is_new", pa.bool_()),
         ("part", pa.int32()),
     ]
 )
@@ -224,7 +229,7 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
     def salted_vec(kind: str, vals: np.ndarray) -> np.ndarray:
         return _splitmix64(vals.astype(np.uint64) ^ _KIND_SALT[kind])
 
-    def _subtable(urls, kind, band, ch=None, ch64=None, sim=None, tl=None, ph=None, ck=None):  # noqa: ANN001
+    def _subtable(urls, kind, band, ch=None, ch64=None, sim=None, tl=None, ph=None, ck=None, new=None):  # noqa: ANN001
         n = len(band)
         return pa.table(
             {
@@ -237,6 +242,7 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
                 "text_len": pa.array(tl if tl is not None else np.zeros(n, np.uint32)),
                 "payload_hash": pa.array(ph if ph is not None else np.zeros(n, np.uint64)),
                 "chunk_hashes": ck if ck is not None else pa.array([[]] * n, pa.list_(pa.uint64())),
+                "is_new": pa.array(new if new is not None else np.ones(n, bool)),
                 "part": pa.array((band % np.uint64(num_parts)).astype(np.int32)),
             },
             schema=BLOCK_ROW_SCHEMA,
@@ -244,6 +250,9 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
 
     def explode(batch: pa.Table) -> pa.Table:
         mods = np.asarray(batch["modality"].to_numpy(zero_copy_only=False))
+        isnew_all = (batch["is_new"].to_numpy(zero_copy_only=False)
+                     if "is_new" in batch.column_names
+                     else np.ones(batch.num_rows, dtype=bool))
         out = []
 
         # exact rows — every doc; key folds the hash's first 16 hex chars
@@ -253,7 +262,7 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
         ch64_all = np.array([int(c[:16], 16) for c in chl], dtype=np.uint64)
         e_band = salted_vec("e", ch64_all)
         out.append(_subtable(batch["url"], "e", e_band, ch=batch["content_hash"],
-                             ch64=ch64_all))
+                             ch64=ch64_all, new=isnew_all))
 
         # text rows — NUM_BANDS per doc, fully vectorized. Any doc carrying
         # bands participates: "text" docs plus payload/chunked docs with
@@ -272,32 +281,41 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
                 ch64=ch64_all[t_mask_np][rep_idx],
                 sim=t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)[rep_idx],
                 tl=t["text_len"].to_numpy(zero_copy_only=False).astype(np.uint32)[rep_idx],
+                new=isnew_all[t_mask_np][rep_idx],
             ))
 
         # payload rows — PAYLOAD_BANDS per doc, vectorized per band index
-        p = batch.filter(pa.array(mods == "payload"))
+        p_mask_np = mods == "payload"
+        p = batch.filter(pa.array(p_mask_np))
         if p.num_rows:
             ph = p["payload_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            p_new = isnew_all[p_mask_np]
             width = 64 // PAYLOAD_BANDS
             mask_bits = np.uint64((1 << width) - 1)
             for b_idx in range(PAYLOAD_BANDS):
                 band_vals = ((ph >> np.uint64(b_idx * width)) & mask_bits) | (
                     np.uint64(b_idx) << np.uint64(56))
-                out.append(_subtable(p["url"], "p", salted_vec("p", band_vals), ph=ph))
+                out.append(_subtable(p["url"], "p", salted_vec("p", band_vals),
+                                     ph=ph, new=p_new))
 
         # chunked rows — one per distinct chunk hash (few docs; python loop)
-        c = batch.filter(pa.array(mods == "chunked"))
+        c_mask_np = mods == "chunked"
+        c = batch.filter(pa.array(c_mask_np))
         if c.num_rows:
-            urls, keys, lists = [], [], []
-            for u, chs in zip(c["url"].to_pylist(), c["chunk_hashes"].to_pylist()):
+            c_new = isnew_all[c_mask_np]
+            urls, keys, lists, news = [], [], [], []
+            for i, (u, chs) in enumerate(zip(c["url"].to_pylist(),
+                                             c["chunk_hashes"].to_pylist())):
                 for cv in sorted(set(chs)):
                     urls.append(u)
                     keys.append(cv)
                     lists.append(chs)
+                    news.append(bool(c_new[i]))
             out.append(_subtable(
                 pa.array(urls, pa.string()), "c",
                 salted_vec("c", np.array(keys, dtype=np.uint64)),
                 ck=pa.array(lists, pa.list_(pa.uint64())),
+                new=np.array(news, dtype=bool),
             ))
 
         return pa.concat_tables(out)

@@ -349,6 +349,13 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
         sim = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         tlen = g["text_len"].to_numpy(zero_copy_only=False).astype(np.int64)
         ph = g["payload_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # delta support: rows from persisted history carry is_new=False; a
+        # run with no new member is skipped (its pairs are already in the
+        # history edge relation), and mixed runs emit only new-touching
+        # pairs — delta cost ∝ delta + touched blocks, not corpus
+        isnew = (g["is_new"].to_numpy(zero_copy_only=False)
+                 if "is_new" in g.column_names
+                 else np.ones(len(urls), dtype=bool))
 
         run_start = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
         run_end = np.r_[run_start[1:], len(bk)]
@@ -371,6 +378,8 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
             L = int(e_ - s_)
             if L < 2:
                 continue
+            if not isnew[s_:e_].any():  # pure-history run (delta mode)
+                continue
             k = kinds[s_]
             if k == "e":
                 i = s_
@@ -379,8 +388,14 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
                     while j < e_ and ch[j] == ch[i]:
                         j += 1
                     if j - i >= 2:  # urls already sorted within the sub-run
-                        ea.extend([urls[i]] * (j - i - 1))
-                        eb.extend(urls[i + 1:j])
+                        if isnew[i]:  # new hub: full star (links everyone)
+                            ea.extend([urls[i]] * (j - i - 1))
+                            eb.extend(urls[i + 1:j])
+                        else:  # old hub: only link the NEW members to it
+                            for m in range(i + 1, j):
+                                if isnew[m]:
+                                    ea.append(urls[i])
+                                    eb.append(urls[m])
                     i = j
             elif k == "t":
                 # representative per content (64-bit fold) = first (min url)
@@ -438,7 +453,8 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
             lb = tlen[J].astype(np.float64)
             tot = np.maximum(la + lb, 1e-9)
             ub = 2.0 * np.minimum(la, lb) / tot
-            keep = (hm <= SIMHASH_PREFILTER_BITS) & (ub > min_ratio)
+            keep = ((hm <= SIMHASH_PREFILTER_BITS) & (ub > min_ratio)
+                    & (isnew[I] | isnew[J]))
             pairs = set()
             for i, j in zip(I[keep], J[keep]):
                 a, b = urls[i], urls[j]
@@ -463,7 +479,7 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
             I = np.concatenate(pi_list)
             J = np.concatenate(pj_list)
             d = popcount64(ph[I] ^ ph[J]).astype(np.float64)
-            keep = d < thresh
+            keep = (d < thresh) & (isnew[I] | isnew[J])
             out_a, out_b, sc = [], [], []
             for i, j, dv in zip(I[keep], J[keep], d[keep]):
                 a, b = urls[i], urls[j]
