@@ -140,8 +140,9 @@ def _repost_delta(sf_dir: str) -> Any:
         for s in shards[len(shards) // 2:]:
             shutil.copy(s, delta_pages)
     cfg = RepostConfig()
-    run_repost_pipeline(hist_pages, f"{root}/out_hist", cfg,
-                        write_outputs=False)
+    # history WITH outputs so the delta run takes the optimized path
+    # (history-edge reuse + pure-history band-run skipping)
+    run_repost_pipeline(hist_pages, f"{root}/out_hist", cfg)
     res = run_repost_delta(f"{root}/out_hist", delta_pages,
                            f"{root}/out_delta", cfg, write_outputs=False)
     return res["clusters"]
