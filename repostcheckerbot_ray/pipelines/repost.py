@@ -648,6 +648,12 @@ def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # no
     import ray.data as rd
 
     cfg = cfg or RepostConfig()
+    # the delta run's outputs depend on WHICH history it resolved against:
+    # fold the history identity into the config hash so checkpoints under a
+    # reused out_dir can never be resumed against a different history
+    cfg = RepostConfig(**{**asdict(cfg),
+                          "extra": {**cfg.extra,
+                                    "delta_history": os.path.abspath(history_out_dir)}})
     hist_ckpt_dir = os.path.join(history_out_dir, "checkpoints", "fingerprints")
     if not os.path.isdir(hist_ckpt_dir):
         raise FileNotFoundError(f"no history fingerprint checkpoint under "
