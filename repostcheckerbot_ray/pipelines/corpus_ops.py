@@ -215,28 +215,46 @@ def session_counts(sf_dir: str):
     """Gap-based session windows per user (the streaming-session analogue
     on a batch engine): events sorted per user by (ts, event_id); a gap
     > 30 min starts a new session; output one row per (user, session) with
-    its event count. Keyed exchange on user_id (bounded entity groups);
-    in-group sessionization is one numpy diff+cumsum."""
+    its event count. Keyed exchange on part = hash(user_id) % 32, NOT raw
+    user_id — the house rule (see _candidate_pairs_ds / dedup_edges): one
+    group per user would mean one Python dispatch per user; here all users
+    of a part are sessionized in ONE vectorized pass over the
+    (user, ts)-sorted part."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(32)
+        return batch.append_column("part", pa.array(part.astype(np.int32)))
+
     def sessions(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        g = group.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
         ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        uid = g["user_id"][0].as_py()
-        brk = np.zeros(len(ts), dtype=np.int64)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        brk = new_user.copy()
         if len(ts) > 1:
-            brk[1:] = (np.diff(ts) > SESSION_GAP_US).astype(np.int64)
-        sid = np.cumsum(brk)
-        counts = np.bincount(sid)
+            brk[1:] |= np.diff(ts) > SESSION_GAP_US
+        counts = np.bincount(np.cumsum(brk) - 1)  # events per session run
+        starts = np.flatnonzero(brk)
+        # session_id restarts at 0 per user: sessions of a user are
+        # contiguous in `starts`, so subtract each run's first index
+        first_of_user = np.where(new_user[starts],
+                                 np.arange(len(starts)), 0)
+        sid = np.arange(len(starts)) - np.maximum.accumulate(first_of_user)
         return pa.table(
             {
-                "user_id": pa.array([uid] * len(counts), pa.int64()),
-                "session_id": pa.array(np.arange(len(counts)), pa.int64()),
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "session_id": pa.array(sid.astype(np.int64), pa.int64()),
                 "n_events": pa.array(counts.astype(np.int64), pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return (ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(16).groupby("part").map_groups(
+                sessions, batch_format="pyarrow")
+            .select_columns(["user_id", "session_id", "n_events"]))
 
 
 def event_window_counts(sf_dir: str):

@@ -35,6 +35,8 @@ a sentinel metric — never silent (scoring_stage.make_part_scorer).
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 from dataclasses import asdict, dataclass, field
 
@@ -121,6 +123,19 @@ class _Metrics:
 
 def _part_of_key(key: str, num_parts: int) -> int:
     return token_hash(key) % num_parts
+
+
+def _d1_dedup(group: pa.Table) -> pa.Table:
+    """D1 within a url-part: keep the min-(warc_ts, content_hash) row per
+    url (reference is_logged/first-writer-wins, database.py:328-358). The
+    ONE copy of the rule — the full-run fingerprint writer and the
+    delta-run writer both call it, so the delta-equals-full-recompute
+    invariant can't drift."""
+    g = group.sort_by([("url", "ascending"), ("warc_ts", "ascending"),
+                       ("content_hash", "ascending")])
+    urls = g["url"].to_pylist()
+    keep = [i for i, u in enumerate(urls) if i == 0 or u != urls[i - 1]]
+    return g.take(pa.array(keep))
 
 
 def _checkpointed_stage(ds_builder, input_filter, ckpt: StageCheckpoint,
@@ -263,12 +278,7 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
             base = super().make_group_writer(schema)
 
             def write_group(group: pa.Table) -> pa.Table:
-                # D1 within part: keep min-(warc_ts, content_hash) row per url
-                g = group.sort_by([("url", "ascending"), ("warc_ts", "ascending"),
-                                   ("content_hash", "ascending")])
-                urls = g["url"].to_pylist()
-                keep = [i for i, u in enumerate(urls) if i == 0 or u != urls[i - 1]]
-                return base(g.take(pa.array(keep)))
+                return base(_d1_dedup(group))
 
             return write_group
 
@@ -319,8 +329,14 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         dead_set = frozenset(dead)
         metrics.add("tombstones", "urls", len(dead_set))
         # result-affecting input -> fold into the downstream stage hashes so
-        # a tombstone change invalidates edge checkpoints, not fingerprints
-        h = config_hash({"base": h, "tombstones": sorted(dead_set)})
+        # a tombstone change invalidates edge checkpoints, not fingerprints.
+        # Streamed digest, not json.dumps of the url list: dead-url sets
+        # grow with corpus age and must never become one driver-side blob.
+        td = hashlib.sha256()
+        for u in sorted(dead_set):
+            td.update(u.encode())
+            td.update(b"\0")
+        h = config_hash({"base": h, "tombstones_digest": td.hexdigest()})
         dead_ref = ray.put(dead_set)
 
         class _DropDead:
@@ -381,8 +397,10 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     # O(delta x bands) and broadcast once (assumption: delta ≪ history —
     # the incremental-ingest contract; at sizes where even that set is too
     # big, persist the band relation per part instead, see SCALE.md).
-    delta_band_ref = None
-    if delta_mode:
+    def _delta_band_ref():
+        """Lazy: only computed when the edge stage actually runs — a no-op
+        rerun of a completed out_dir (all edge parts checkpointed) never
+        calls ed_filter, so it must not pay this extra Ray job either."""
         import numpy as _np
 
         dk_rows = explode_block_rows(
@@ -394,16 +412,18 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         delta_bands = (_np.unique(_np.concatenate(chunks)) if chunks
                        else _np.empty(0, dtype=_np.uint64))
         metrics.add("edges_raw", "delta_bands", len(delta_bands))
-        delta_band_ref = ray.put(delta_bands)
+        return ray.put(delta_bands)
 
     def ed_filter(done: set[int]):
         rows = explode_block_rows(fingerprints.select_columns(_BLOCK_COLS),
                                   num_parts=cfg.num_parts)
-        if delta_band_ref is not None:
+        if delta_mode:
             import numpy as _np
 
+            band_ref = _delta_band_ref()
+
             def prune(t: pa.Table) -> pa.Table:
-                bands = ray.get(delta_band_ref)
+                bands = ray.get(band_ref)
                 bk = t["band_key"].to_numpy(zero_copy_only=False)
                 new = t["is_new"].to_numpy(zero_copy_only=False)
                 return t.filter(pa.array(new | _np.isin(bk, bands)))
@@ -658,10 +678,37 @@ def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # no
     if not os.path.isdir(hist_ckpt_dir):
         raise FileNotFoundError(f"no history fingerprint checkpoint under "
                                 f"{history_out_dir}")
+    # The cross-run D1 anti-join and the text attach both look up history
+    # part FILES by the delta run's part index — a num_parts mismatch or a
+    # partial history checkpoint would silently drop dedup/edges, so fail
+    # loudly instead (the docstring's "requires" clause, enforced).
+    lineage_path = os.path.join(hist_ckpt_dir, "_lineage.json")
+    if os.path.exists(lineage_path):
+        with open(lineage_path) as f:
+            hist_np = json.load(f).get("num_parts")
+        if hist_np != cfg.num_parts:
+            raise ValueError(
+                f"history run used num_parts={hist_np}, delta run configured "
+                f"num_parts={cfg.num_parts}; they must match (partition-local "
+                f"anti-join / text attach)")
+    import re as _re
+
+    have = set()
+    for fname in os.listdir(hist_ckpt_dir):
+        m = _re.fullmatch(r"part=(\d+)\.parquet", fname)
+        if m:
+            have.add(int(m.group(1)))
+    missing = set(range(cfg.num_parts)) - have
+    extra = have - set(range(cfg.num_parts))
+    if missing or extra:
+        raise ValueError(
+            f"history fingerprint checkpoint at {hist_ckpt_dir} does not "
+            f"cover parts 0..{cfg.num_parts - 1} (missing={sorted(missing)[:8]}, "
+            f"unexpected={sorted(extra)[:8]}): incomplete history run or "
+            f"num_parts mismatch")
     hist_files = [os.path.join(hist_ckpt_dir, f"part={p}.parquet")
                   for p in range(cfg.num_parts)]
-    hist_files = [f for f in hist_files
-                  if os.path.exists(f) and pq.read_metadata(f).num_rows > 0]
+    hist_files = [f for f in hist_files if pq.read_metadata(f).num_rows > 0]
     history = (rd.read_parquet(hist_files) if hist_files
                else rd.from_arrow(FINGERPRINT_SCHEMA.empty_table()))
 
@@ -687,12 +734,7 @@ def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # no
             base = super().make_group_writer(schema)
 
             def write_group(g: pa.Table) -> pa.Table:
-                g = g.sort_by([("url", "ascending"), ("warc_ts", "ascending"),
-                               ("content_hash", "ascending")])
-                urls = g["url"].to_pylist()
-                keep = [i for i, u in enumerate(urls)
-                        if i == 0 or u != urls[i - 1]]
-                return base(drop_logged(g.take(pa.array(keep))))
+                return base(drop_logged(_d1_dedup(g)))
 
             return write_group
 

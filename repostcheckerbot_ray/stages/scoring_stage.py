@@ -445,6 +445,8 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
                     "kind": pa.array(["exact"] * len(ea), pa.string()),
                 }
             ))
+        out_a: list[str] = []
+        out_b: list[str] = []
         if ti_list:
             I = np.concatenate(ti_list)
             J = np.concatenate(tj_list)
@@ -463,18 +465,20 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
             # this part — collapse before the verification exchange
             out_a = [p[0] for p in sorted(pairs)]
             out_b = [p[1] for p in sorted(pairs)]
-            if salted:
-                out_a.append("_salted_block")
-                out_b.append(str(salted))
-            if out_a:
-                tables.append(pa.table(
-                    {
-                        "url_a": pa.array(out_a, pa.string()),
-                        "url_b": pa.array(out_b, pa.string()),
-                        "score": pa.array([-1.0] * len(out_a), pa.float64()),
-                        "kind": pa.array(["tcand"] * len(out_a), pa.string()),
-                    }
-                ))
+        if salted:
+            # emitted even when the part has no text candidates: payload /
+            # chunked hot bands salt too, and the contract is "never silent"
+            out_a.append("_salted_block")
+            out_b.append(str(salted))
+        if out_a:
+            tables.append(pa.table(
+                {
+                    "url_a": pa.array(out_a, pa.string()),
+                    "url_b": pa.array(out_b, pa.string()),
+                    "score": pa.array([-1.0] * len(out_a), pa.float64()),
+                    "kind": pa.array(["tcand"] * len(out_a), pa.string()),
+                }
+            ))
         if pi_list:
             I = np.concatenate(pi_list)
             J = np.concatenate(pj_list)

@@ -160,8 +160,15 @@ def label_propagation_components(edges_ds, max_iters: int = 50,  # noqa: ANN001
             join_group, batch_format="pandas")
         labels = spread.groupby("part").map_groups(
             min_group, batch_format="pandas").materialize()
-        if labels.sum("changed") == 0:  # distributed convergence count
+        # distributed convergence count; Dataset.sum returns None on an
+        # empty dataset (no edges -> no labels), which also means converged
+        if not labels.sum("changed"):
             break
+    if labels.count() == 0:  # empty batches carry no columns to rename
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"url": pa.array([], pa.string()),
+                                       "cluster_id": pa.array([], pa.string())}))
     return labels.map_batches(
         lambda b: b[["url", "label"]].rename(columns={"label": "cluster_id"}),
         batch_format="pandas",

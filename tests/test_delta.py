@@ -85,3 +85,17 @@ def test_delta_drops_already_logged_urls(ray_session, split_fixture):
         hist_urls.update(pq.read_table(f, columns=["url"])["url"].to_pylist())
     delta_urls = fp["url"].to_pylist()
     assert not (set(delta_urls) & hist_urls)
+
+
+def test_delta_rejects_num_parts_mismatch(ray_session, split_fixture, tmp_path):
+    """The co-partitioned anti-join / text attach index history part FILES
+    by the delta run's part number — a num_parts mismatch must fail loudly,
+    never silently drop dedup or edges."""
+    root = split_fixture["root"]
+    hist_out = str(tmp_path / "hist_np4")
+    run_repost_pipeline(split_fixture["hist"], hist_out,
+                        RepostConfig(num_parts=4))
+    with pytest.raises(ValueError, match="num_parts"):
+        run_repost_delta(hist_out, split_fixture["delta"],
+                         str(tmp_path / "delta_np8"),
+                         RepostConfig(num_parts=8))

@@ -18,6 +18,8 @@ def _run_lp(edges):
         "url_b": pa.array([e[1] for e in edges]),
     }))
     got_df = label_propagation_components(edges_ds).to_pandas()
+    if got_df.empty:  # Ray's to_pandas drops columns on zero-row datasets
+        return {}
     return dict(zip(got_df["url"], got_df["cluster_id"]))
 
 
@@ -94,3 +96,44 @@ def test_multimodal_deterministic(ray_session):
     a = MediaFeatureExtractor()(tbl)
     b = MediaFeatureExtractor()(tbl)
     assert a.equals(b)
+
+
+def test_label_propagation_empty_edges(ray_session):
+    """Regression: Dataset.sum returns None on an empty dataset; the
+    convergence check must treat that as converged, not loop max_iters
+    times over empty shuffles."""
+    import time
+
+    t0 = time.time()
+    assert _run_lp([]) == {}
+    assert time.time() - t0 < 30  # 50 blind iterations would take minutes
+
+
+def test_payload_hot_band_emits_salt_sentinel(ray_session):
+    """Regression: a salted payload band in a part with NO text candidates
+    must still emit the _salted_block sentinel row (the 'never silent'
+    metrics contract covers every modality, not just text)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from repostcheckerbot_ray.stages.scoring_stage import make_part_scorer
+
+    n = 20  # > max_block below; pairwise-distant hashes -> no edges
+    rows = {
+        "part": pa.array([0] * n, pa.int32()),
+        "band_key": pa.array(np.full(n, 7, dtype=np.uint64)),
+        "kind": pa.array(["p"] * n),
+        "content_hash": pa.array([f"c{i}" for i in range(n)]),
+        "chash64": pa.array(np.arange(n, dtype=np.uint64)),
+        "url": pa.array([f"u{i}" for i in range(n)]),
+        "simhash": pa.array(np.zeros(n, dtype=np.uint64)),
+        "text_len": pa.array(np.zeros(n, dtype=np.int64)),
+        # random hashes: pairwise Hamming ~32 bits, way past any threshold
+        "payload_hash": pa.array(
+            np.random.default_rng(0).integers(0, 2**64, n, dtype=np.uint64)),
+    }
+    out = make_part_scorer(thresh=3.0, max_block=8)(pa.table(rows))
+    sent = out.filter(pa.compute.equal(out["url_a"], "_salted_block"))
+    assert sent.num_rows == 1
+    assert sent["kind"][0].as_py() == "tcand"
+    assert int(sent["url_b"][0].as_py()) >= 1
