@@ -258,8 +258,9 @@ def dedup_edges(edges_ds, num_parts: int = 16):  # noqa: ANN001
 # groupby(band_key) over blocking.explode_block_rows output; each group is
 # homogeneous in kind (keys are kind-salted) and routes to the matching
 # scorer. Text groups emit CANDIDATE rows (kind="tcand", score=-1) that the
-# pipeline verifies in a second, broadcast-based pass — everything else
-# emits final edges directly.
+# pipeline verifies in a second pass (pair_join keyed exchanges against the
+# co-partitioned fingerprint checkpoint) — everything else emits final
+# edges directly.
 # --------------------------------------------------------------------------
 
 def make_unified_scorer(thresh: float = DEFAULT_THRESHOLD,
