@@ -223,8 +223,13 @@ def session_counts(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def add_part(batch: pa.Table) -> pa.Table:
+        from ..functions.fingerprint import splitmix64
+
+        # full bit mixing (splitmix64), NOT a bare multiply — a multiply
+        # mod 32 only permutes the low 5 bits, so stride-allocated ids
+        # would all land in one part
         uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = (uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(32)
+        part = splitmix64(uid) % np.uint64(32)
         return batch.append_column("part", pa.array(part.astype(np.int32)))
 
     def sessions(group: pa.Table) -> pa.Table:

@@ -330,8 +330,9 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         metrics.add("tombstones", "urls", len(dead_set))
         # result-affecting input -> fold into the downstream stage hashes so
         # a tombstone change invalidates edge checkpoints, not fingerprints.
-        # Streamed digest, not json.dumps of the url list: dead-url sets
-        # grow with corpus age and must never become one driver-side blob.
+        # Incremental digest instead of json.dumps of the url list — avoids
+        # a second serialized copy; the set itself is still O(dead) driver
+        # memory by design (broadcast small side, see SCALE.md "Tombstones").
         td = hashlib.sha256()
         for u in sorted(dead_set):
             td.update(u.encode())
@@ -700,7 +701,11 @@ def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # no
             have.add(int(m.group(1)))
     missing = set(range(cfg.num_parts)) - have
     extra = have - set(range(cfg.num_parts))
-    if missing or extra:
+    # extra part files are only fatal when no lineage confirms num_parts:
+    # a reused out_dir legitimately retains stale part files from an
+    # earlier, larger-num_parts run (config-hash invalidation recomputes
+    # in place but never deletes), and those are never read here
+    if missing or (extra and not os.path.exists(lineage_path)):
         raise ValueError(
             f"history fingerprint checkpoint at {hist_ckpt_dir} does not "
             f"cover parts 0..{cfg.num_parts - 1} (missing={sorted(missing)[:8]}, "

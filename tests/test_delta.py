@@ -91,7 +91,6 @@ def test_delta_rejects_num_parts_mismatch(ray_session, split_fixture, tmp_path):
     """The co-partitioned anti-join / text attach index history part FILES
     by the delta run's part number — a num_parts mismatch must fail loudly,
     never silently drop dedup or edges."""
-    root = split_fixture["root"]
     hist_out = str(tmp_path / "hist_np4")
     run_repost_pipeline(split_fixture["hist"], hist_out,
                         RepostConfig(num_parts=4))
