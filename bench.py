@@ -89,6 +89,21 @@ def run_bench() -> dict:
     headline = time.perf_counter() - t0
     queries["repost_pipeline"] = round(headline, 3)
 
+    def _stage_walls() -> dict:
+        """Per-stage wall_ms from the run's metrics sink (free — where time
+        went, for reading alongside the headline number)."""
+        try:
+            import pyarrow.parquet as pq
+
+            m = pq.read_table(os.path.join(out_dir, "metrics.parquet"))
+            return {s: int(v) for s, c, v in zip(
+                m["stage"].to_pylist(), m["counter"].to_pylist(),
+                m["value"].to_pylist()) if c == "wall_ms"}
+        except Exception:
+            return {}
+
+    stage_walls = _stage_walls()
+
     # secondary pipelines over the sf tables (skipped in scaling mode: the
     # scaling criterion measures the headline pipeline only)
     if os.environ.get("RCB_BENCH_ONLY") == "headline":
@@ -101,6 +116,7 @@ def run_bench() -> dict:
             "num_cpus": NUM_CPUS,
             "corpus_docs": n_docs,
             "docs_per_sec": round(n_docs / headline, 1),
+            "stage_wall_ms": stage_walls,
         }
         ray.shutdown()
         return result
@@ -128,6 +144,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "corpus_docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
+        "stage_wall_ms": stage_walls,
     }
     ray.shutdown()
     return result
