@@ -24,6 +24,31 @@ from repostcheckerbot_ray.pipelines import corpus_ops, embedding_ops
 _Q_IDS = "0, 1, 2, 3"
 _SHIFT = corpus_ops.COPY_SHIFT
 
+# Brute-force O(n²) token-trigram Jaccard ≥ 0.8 pair set (shared by the
+# ngram_jaccard_pairs and minhash_dedup_clusters oracles). Mirrors
+# corpus_ops._shingle_set exactly: lowercase, whitespace-split, strict
+# 3-grams, DISTINCT shingles.
+_TRI_PAIRS_CTE = (
+    "toks AS ("
+    "  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,"
+    "         generate_subscripts(string_split(lower(text), ' '), 1) AS pos"
+    "  FROM documents),"
+    "tri AS ("
+    "  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh"
+    "  FROM toks a"
+    "  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1"
+    "  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),"
+    "sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),"
+    "inter AS ("
+    "  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i"
+    "  FROM tri x JOIN tri y ON x.sh = y.sh AND x.doc_id < y.doc_id"
+    "  GROUP BY x.doc_id, y.doc_id),"
+    "pairs AS ("
+    "  SELECT id_a, id_b FROM inter"
+    "  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b"
+    "  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)"
+)
+
 
 def _corpus_dir(tag: str) -> str:
     """Deterministic synthetic pages corpus (FIXTURES.md) cached under /tmp —
@@ -212,23 +237,25 @@ def oracle_sql() -> dict[str, str]:
         # recall loss from blocking at this threshold. Thresholding is pure
         # integer-set arithmetic on both sides (no float tolerance needed).
         "ngram_jaccard_pairs": (
-            "WITH toks AS ("
-            "  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,"
-            "         generate_subscripts(string_split(lower(text), ' '), 1) AS pos"
-            "  FROM documents),"
-            "tri AS ("
-            "  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh"
-            "  FROM toks a"
-            "  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1"
-            "  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),"
-            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),"
-            "inter AS ("
-            "  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i"
-            "  FROM tri x JOIN tri y ON x.sh = y.sh AND x.doc_id < y.doc_id"
-            "  GROUP BY x.doc_id, y.doc_id) "
-            "SELECT id_a, id_b FROM inter "
-            "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
-            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8"
+            "WITH " + _TRI_PAIRS_CTE + " SELECT id_a, id_b FROM pairs"
+        ),
+        # cluster oracle: connected components of the SAME brute-force pair
+        # set via a recursive reachability CTE; cluster_id = min member,
+        # singletons map to themselves — exactly the Ray side's union-find
+        # contract over verified edges. Equality proves both the blocked
+        # pair recall AND the transitive-closure labeling end-to-end.
+        "minhash_dedup_clusters": (
+            "WITH RECURSIVE " + _TRI_PAIRS_CTE + ","
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+            "          UNION ALL SELECT id_b, id_a FROM pairs),"
+            "reach(src, dst) AS ("
+            "  SELECT a, b FROM edges"
+            "  UNION"
+            "  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst) "
+            "SELECT d.doc_id,"
+            "  LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id "
+            "FROM documents d LEFT JOIN reach r ON r.src = d.doc_id "
+            "GROUP BY d.doc_id"
         ),
         "knn_cosine": (
             "SELECT query_id, neighbor_id FROM ("
