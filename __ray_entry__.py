@@ -313,9 +313,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, substring(MAX(r), 3) AS source_resolved "
             "FROM ranked GROUP BY doc_id"
         ),
-        # text_analysis / minhash_dedup_clusters / simhash_dedup_clusters /
-        # knn_ivf / repost_* / media_features: intentionally omitted
-        # (heuristic, transitive-closure, approximate, or full-pipeline
-        # outputs) -> rows-only check. Cluster outputs are pinned by pytest
-        # against the transitive closure of the SQL-verified pair set.
+        # text_analysis / simhash_dedup_clusters / knn_ivf / knn_lsh /
+        # repost_* / media_features: intentionally omitted (heuristic,
+        # Python-hash-based, approximate, or full-pipeline outputs over the
+        # synthetic corpus) -> rows-only check. simhash clusters and the
+        # flagship are pinned by pytest (brute-force closure / F1 gate);
+        # minhash_dedup_clusters IS oracled above (recursive-CTE closure).
     }

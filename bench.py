@@ -99,7 +99,8 @@ def run_bench() -> dict:
             return {s: int(v) for s, c, v in zip(
                 m["stage"].to_pylist(), m["counter"].to_pylist(),
                 m["value"].to_pylist()) if c == "wall_ms"}
-        except Exception:
+        except (FileNotFoundError, OSError, KeyError) as e:
+            print(f"stage_wall_ms unavailable: {e!r}", file=sys.stderr)
             return {}
 
     stage_walls = _stage_walls()

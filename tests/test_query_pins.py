@@ -27,7 +27,8 @@ def test_text_analysis_matches_pure_functions(ray_session):
     docs = pq.read_table(f"{SF}/documents.parquet",
                          columns=["doc_id", "text"]).to_pandas()
     assert len(got) == len(docs)
-    for _, r in docs.head(25).iterrows():
+    # sample across the whole id range, not just the first read partition
+    for _, r in docs.iloc[::20].iterrows():
         lg, cf = lang_id(r.text.lower().split())
         f = quality_features(r.text)
         row = got.loc[r.doc_id]
