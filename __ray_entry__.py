@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_k_longest": corpus_ops.top_k_longest,                # E6
         "token_counts": corpus_ops.token_counts,                  # text analysis
         "char_counts": corpus_ops.char_counts,
+        "bpe_token_counts": corpus_ops.bpe_token_counts,
         "ttl_filter_events": corpus_ops.ttl_filter_events,        # B9/E5
         "repetition_stats": corpus_ops.repetition_stats,          # quality
         "event_window_counts": corpus_ops.event_window_counts,    # windowed agg
@@ -211,6 +212,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "char_counts": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents"
+        ),
+        # same RE2 pattern as the Ray side's pc.count_substring_regex —
+        # engine-level parity (both Arrow and DuckDB embed RE2)
+        "bpe_token_counts": (
+            r"SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            r"'[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents"
         ),
         "ttl_filter_events": (
             f"SELECT event_id, ts FROM events WHERE ts >= TIMESTAMP '{corpus_ops.TTL_CUTOFF}'"

@@ -126,6 +126,7 @@ def run_bench() -> dict:
     timed("simhash_dedup", lambda: corpus_ops.simhash_dedup_clusters(SF_DIR))
     timed("exact_dedup_text", lambda: corpus_ops.exact_dedup_text(SF_DIR))
     timed("token_counts", lambda: corpus_ops.token_counts(SF_DIR))
+    timed("bpe_token_counts", lambda: corpus_ops.bpe_token_counts(SF_DIR))
     timed("repetition_stats", lambda: corpus_ops.repetition_stats(SF_DIR))
     timed("text_analysis", lambda: corpus_ops.text_analysis(SF_DIR))
     timed("event_window_counts", lambda: corpus_ops.event_window_counts(SF_DIR))

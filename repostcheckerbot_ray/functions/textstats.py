@@ -24,7 +24,8 @@ LANG_PROFILES: dict[str, frozenset[str]] = {
     "es": frozenset("el la los las y de que un una es no en por para con".split()),
 }
 
-_BPEISH_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+_BPEISH_RE = re.compile(BPEISH_PATTERN)
 _PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
 _STOP_EN = LANG_PROFILES["en"]
 

@@ -145,6 +145,24 @@ def token_counts(sf_dir: str):
     return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def bpe_token_counts(sf_dir: str):
+    """BPE-ish pre-tokenizer count (alpha runs | digit runs | single
+    symbols), fully vectorized: ``pc.count_substring_regex`` runs the same
+    RE2 engine DuckDB uses, so the oracle is engine-level exact. The Python
+    definition lives in ``textstats.token_count_bpeish`` (unit-pinned equal)."""
+    from ..functions.textstats import BPEISH_PATTERN
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], BPEISH_PATTERN)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_bpe_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def char_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
