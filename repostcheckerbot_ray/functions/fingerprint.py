@@ -121,6 +121,98 @@ def band_keys_batch(signatures: np.ndarray) -> np.ndarray:
     return splitmix64(acc)
 
 
+def token_hash_flat(token_lists: list[list[str]], cache: dict[str, int] | None = None,
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 hashes, per-doc lengths) for many token lists at once.
+
+    blake2b runs only once per *unique* token in the batch (pandas factorize
+    builds the vocabulary at C speed); the optional cross-batch cache then
+    reduces that to once per unique token per actor lifetime. Bit-identical
+    to per-doc ``token_hash_array``."""
+    import pandas as pd
+
+    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
+                       count=len(token_lists))
+    flat = [tok for toks in token_lists for tok in toks]
+    if not flat:
+        return np.empty(0, dtype=np.uint64), lens
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    uh = np.empty(len(uniques), dtype=np.uint64)
+    if cache is None:
+        for i, t in enumerate(uniques):
+            uh[i] = token_hash(t)
+    else:
+        for i, t in enumerate(uniques):
+            h = cache.get(t)
+            if h is None:
+                h = token_hash(t)
+                cache[t] = h
+            uh[i] = h
+    return uh[codes], lens
+
+
+def fingerprint_text_many(token_lists: list[list[str]],
+                          cache: dict[str, int] | None = None,
+                          ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched text-channel fingerprints for many documents.
+
+    Returns ``(n_tokens int64[n], simhash uint64[n], band_keys uint64[n, NUM_BANDS])``
+    bit-identical to the per-doc chain
+    ``simhash64 / band_keys(minhash_signature(...))`` over
+    ``shingle_hashes(token_hash_array(toks))`` (pinned by test_functions).
+
+    Vectorization: one shingle fold over the concatenated token-hash array
+    (cross-document windows discarded), then segment aggregation with
+    ``np.minimum.reduceat`` / ``np.add.reduceat`` instead of one numpy call
+    chain per document — the per-batch cost is a handful of large kernels.
+    """
+    n = len(token_lists)
+    tok_h_flat, lens = token_hash_flat(token_lists, cache)
+    k = SHINGLE_K
+    starts = np.zeros(n, dtype=np.int64)
+    if n:
+        starts[1:] = np.cumsum(lens)[:-1]
+    # shingle count per doc: n-k+1 (regular), 1 (short non-empty), 0 (empty)
+    m = np.where(lens >= k, lens - k + 1, np.where(lens > 0, 1, 0))
+    out_starts = np.zeros(n, dtype=np.int64)
+    if n:
+        out_starts[1:] = np.cumsum(m)[:-1]
+    total = int(m.sum())
+    sh_flat = np.empty(total, dtype=np.uint64)
+
+    reg = lens >= k
+    if reg.any():
+        flat_n = len(tok_h_flat)
+        w = flat_n - k + 1
+        acc = np.zeros(w, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _FOLD_M + tok_h_flat[j : j + w]  # uint64 wraparound intended
+        win = splitmix64(acc)
+        rs, rm, ro = starts[reg], m[reg], out_starts[reg]
+        ramp = np.arange(int(rm.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(rm) - rm, rm)
+        sh_flat[np.repeat(ro, rm) + ramp] = win[np.repeat(rs, rm) + ramp]
+    for i in np.flatnonzero((lens > 0) & (lens < k)):
+        sh_flat[out_starts[i]] = shingle_hashes(
+            tok_h_flat[starts[i] : starts[i] + lens[i]], k)[0]
+
+    simhash = np.zeros(n, dtype=np.uint64)
+    sig = np.full((n, NUM_PERMS), _MASK64, dtype=np.uint64)  # empty-doc sentinel
+    if total:
+        # Per-doc min/vote over VIEWS into sh_flat with a reused multiply
+        # buffer: the (m_i, NUM_PERMS) working set stays cache-resident.
+        # (A whole-batch reduceat over the (total, NUM_PERMS) matrix is
+        # 3-10x slower on this class of host — memory-bandwidth bound.)
+        buf = np.empty((max(int(m.max()), 1), NUM_PERMS), dtype=np.uint64)
+        for i in np.flatnonzero(m > 0):
+            s = sh_flat[out_starts[i] : out_starts[i] + m[i]]
+            hv = np.multiply(s[:, None], _PERM_A[None, :], out=buf[: len(s)])
+            hv += _PERM_B[None, :]
+            hv.min(axis=0, out=sig[i])
+            simhash[i] = simhash64(s)
+    return lens, simhash, band_keys_batch(sig)
+
+
 def simhash64(shingles: np.ndarray) -> int:
     """64-bit SimHash over shingle hashes (unit weights).
 

@@ -37,14 +37,10 @@ import pyarrow as pa
 from ..functions.extract import ReusableExtractor
 from ..functions.fingerprint import (
     NUM_BANDS,
-    band_keys,
     chunk_hashes,
-    minhash_signature,
+    fingerprint_text_many,
     payload_hash64,
-    shingle_hashes,
-    simhash64,
     token_hash,
-    token_hash_array,
 )
 from ..functions.textnorm import canonicalize, is_valid_text, normalize_url, tokenize
 
@@ -112,10 +108,20 @@ class FingerprintBatcher:
         n_tokens = np.zeros(n, dtype=np.uint32)
         content_hash = [""] * n
         simhash = np.zeros(n, dtype=np.uint64)
-        bkeys: list[list[int]] = [[] for _ in range(n)]
         payload_hash = np.zeros(n, dtype=np.uint64)
         chashes: list[list[int]] = [[] for _ in range(n)]
         part = np.zeros(n, dtype=np.int32)
+
+        # text channel — for "text" docs AND for payload/chunked docs with
+        # extractable text (the reference's ImageText secondary channel:
+        # image posts are ALSO fingerprinted and matched on their OCR'd
+        # text, database.py:748-751, 631-647). Two images with identical
+        # embedded text but distant payload hashes still pair via these
+        # bands. Token lists are collected here and fingerprinted in ONE
+        # batched numpy pass below (fingerprint_text_many — bit-identical
+        # to the per-doc chain, pinned by test_functions).
+        text_rows: list[int] = []
+        token_lists: list[list[str]] = []
 
         for i in range(n):
             url, text, html = urls[i], texts[i], htmls[i]
@@ -153,18 +159,24 @@ class FingerprintBatcher:
                     ("url:" + normalize_url(url)).encode("utf-8")
                 ).hexdigest()
 
-            # text channel — for "text" docs AND for payload/chunked docs
-            # with extractable text (the reference's ImageText secondary
-            # channel: image posts are ALSO fingerprinted and matched on
-            # their OCR'd text, database.py:748-751, 631-647). Two images
-            # with identical embedded text but distant payload hashes still
-            # pair via these bands.
             if tn and mod in ("text", "payload", "chunked"):
-                toks = tokenize(raw)
-                n_tokens[i] = len(toks)
-                sh = shingle_hashes(token_hash_array(toks, self._tok_cache))
-                simhash[i] = simhash64(sh)
-                bkeys[i] = [int(b) for b in band_keys(minhash_signature(sh))]
+                text_rows.append(i)
+                token_lists.append(tokenize(raw))
+
+        # batched text fingerprints + zero-copy list<u64> band-key column
+        bk_offsets = np.zeros(n + 1, dtype=np.int32)
+        if text_rows:
+            rows = np.asarray(text_rows, dtype=np.int64)
+            lens, sims, bks = fingerprint_text_many(token_lists, self._tok_cache)
+            n_tokens[rows] = lens.astype(np.uint32)
+            simhash[rows] = sims
+            has_bk = np.zeros(n, dtype=np.int32)
+            has_bk[rows] = NUM_BANDS
+            np.cumsum(has_bk, out=bk_offsets[1:])
+            bk_values = pa.array(bks.ravel(), pa.uint64())
+        else:
+            bk_values = pa.array([], pa.uint64())
+        band_col = pa.ListArray.from_arrays(pa.array(bk_offsets, pa.int32()), bk_values)
 
         return pa.table(
             {
@@ -178,7 +190,7 @@ class FingerprintBatcher:
                 "n_tokens": pa.array(n_tokens),
                 "content_hash": pa.array(content_hash, pa.string()),
                 "simhash": pa.array(simhash),
-                "band_keys": pa.array(bkeys, pa.list_(pa.uint64())),
+                "band_keys": band_col,
                 "payload_hash": pa.array(payload_hash),
                 "chunk_hashes": pa.array(chashes, pa.list_(pa.uint64())),
                 "part": pa.array(part),

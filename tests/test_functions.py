@@ -232,3 +232,31 @@ def test_whitespace_constant_matches_full_scan():
     )
 
     assert _whitespace_chars() == _whitespace_chars_full_scan()
+
+
+def test_fingerprint_text_many_bit_identical_to_per_doc():
+    """The batched text-fingerprint path must match the per-doc chain exactly
+    (token_hash_array -> shingle_hashes -> simhash64 / band_keys(minhash)),
+    including short (<k tokens), single-token, repeated-token, unicode and
+    empty documents, with and without a shared cache."""
+    rng = np.random.RandomState(7)
+    vocab = [f"tok{i}" for i in range(50)] + ["naïve", "日本語", "x"]
+    docs = []
+    for n in [0, 1, 2, 3, 5, 17, 64, 301]:
+        docs.append([vocab[j] for j in rng.randint(0, len(vocab), size=n)])
+    docs.append(["same"] * 10)
+    docs.append([])  # second empty, not adjacent to the first
+
+    for cache in (None, {}):
+        lens, sim, bk = fp.fingerprint_text_many(docs, cache)
+        for i, toks in enumerate(docs):
+            th = fp.token_hash_array(toks, dict(cache) if cache is not None else None)
+            sh = fp.shingle_hashes(th)
+            assert lens[i] == len(toks)
+            assert int(sim[i]) == fp.simhash64(sh)
+            expect_bk = fp.band_keys(fp.minhash_signature(sh))
+            np.testing.assert_array_equal(bk[i], expect_bk)
+
+    # empty batch
+    lens, sim, bk = fp.fingerprint_text_many([], {})
+    assert len(lens) == 0 and len(sim) == 0 and bk.shape == (0, fp.NUM_BANDS)
