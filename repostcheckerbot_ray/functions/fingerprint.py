@@ -153,6 +153,7 @@ def token_hash_flat(token_lists: list[list[str]], cache: dict[str, int] | None =
 
 def fingerprint_text_many(token_lists: list[list[str]],
                           cache: dict[str, int] | None = None,
+                          *, want_bands: bool = True, want_simhash: bool = True,
                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batched text-channel fingerprints for many documents.
 
@@ -206,11 +207,13 @@ def fingerprint_text_many(token_lists: list[list[str]],
         buf = np.empty((max(int(m.max()), 1), NUM_PERMS), dtype=np.uint64)
         for i in np.flatnonzero(m > 0):
             s = sh_flat[out_starts[i] : out_starts[i] + m[i]]
-            hv = np.multiply(s[:, None], _PERM_A[None, :], out=buf[: len(s)])
-            hv += _PERM_B[None, :]
-            hv.min(axis=0, out=sig[i])
-            simhash[i] = simhash64(s)
-    return lens, simhash, band_keys_batch(sig)
+            if want_bands:
+                hv = np.multiply(s[:, None], _PERM_A[None, :], out=buf[: len(s)])
+                hv += _PERM_B[None, :]
+                hv.min(axis=0, out=sig[i])
+            if want_simhash:
+                simhash[i] = simhash64(s)
+    return lens, simhash, band_keys_batch(sig) if want_bands else sig
 
 
 def simhash64(shingles: np.ndarray) -> int:

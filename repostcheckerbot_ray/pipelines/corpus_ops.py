@@ -27,13 +27,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.fingerprint import (
-    band_keys,
-    minhash_signature,
-    shingle_hashes,
-    simhash64,
-    token_hash_array,
-)
 from ..functions.scoring import hamming64_matrix
 from ..functions.textstats import (
     doc_fingerprint,
@@ -448,17 +441,16 @@ class _ShingleBander:
         self._cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
+        from ..functions.fingerprint import NUM_BANDS, fingerprint_text_many
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
-        out_id, out_band = [], []
-        for i, t in zip(ids, texts):
-            sh = shingle_hashes(token_hash_array(t.lower().split(), self._cache))
-            for b in band_keys(minhash_signature(sh)):
-                out_id.append(i)
-                out_band.append(int(b))
-        band_arr = np.array(out_band, dtype=np.uint64)
+        _, _, bks = fingerprint_text_many(
+            [t.lower().split() for t in texts], self._cache,
+            want_simhash=False)
+        band_arr = bks.ravel()
         return pa.table(
-            {"doc_id": pa.array(out_id, pa.int64()),
+            {"doc_id": pa.array(np.repeat(ids, NUM_BANDS), pa.int64()),
              "band_key": pa.array(band_arr),
              "part": pa.array((band_arr % np.uint64(32)).astype(np.int32))}
         )
@@ -604,21 +596,22 @@ class _SimhashBander:
         self._cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
+        from ..functions.fingerprint import fingerprint_text_many
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
-        out_id, out_sim, out_band = [], [], []
-        for i, t in zip(ids, texts):
-            sh = shingle_hashes(token_hash_array(t.lower().split(), self._cache))
-            s = simhash64(sh)
-            for b_idx in range(self.N_BANDS):
-                out_id.append(i)
-                out_sim.append(s)
-                out_band.append((b_idx << 56) | ((s >> (b_idx * 16)) & 0xFFFF))
-        band_arr = np.array(out_band, dtype=np.uint64)
+        _, sims, _ = fingerprint_text_many(
+            [t.lower().split() for t in texts], self._cache, want_bands=False)
+        nb = self.N_BANDS
+        b_idx = np.arange(nb, dtype=np.uint64)
+        bands = (b_idx[None, :] << np.uint64(56)) | (
+            (sims[:, None] >> (b_idx[None, :] * np.uint64(16)))
+            & np.uint64(0xFFFF))
+        band_arr = bands.ravel()
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "simhash": pa.array(out_sim, pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, nb), pa.int64()),
+                "simhash": pa.array(np.repeat(sims, nb), pa.uint64()),
                 "band_key": pa.array(band_arr),
                 "part": pa.array((band_arr % np.uint64(32)).astype(np.int32)),
             }

@@ -50,23 +50,29 @@ def make_cluster_assigner(comp_ref, meta_ref):  # noqa: ANN001
     become singleton clusters (cluster_id = own url)."""
 
     def assign(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
         import ray
 
         comp: dict[str, str] = ray.get(comp_ref)
         meta_map: dict[str, tuple[int, int]] = ray.get(meta_ref)
-        urls = batch["url"].to_pylist()
-        ts = batch["warc_ts"].cast(pa.int64()).to_pylist()
-        cids, sizes, is_orig = [], [], []
-        for u, t in zip(urls, ts):
-            cid = comp.get(u, u)
-            meta = meta_map.get(cid)
-            cids.append(cid)
-            if meta is None:
-                sizes.append(1)
-                is_orig.append(True)
-            else:
-                sizes.append(meta[1])
-                is_orig.append(t == meta[0])
+        urls = pd.Series(batch["url"].to_pylist(), dtype=object)
+        ts = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # vectorized dict lookups (pandas map = one C hash-probe pass);
+        # rows not in any edge stay singleton clusters (cid = own url)
+        cids = urls.map(comp).fillna(urls) if comp else urls
+        if meta_map:
+            meta = cids.map(meta_map)
+            has = meta.notna().to_numpy()
+            sizes = np.ones(len(urls), dtype=np.int64)
+            is_orig = np.ones(len(urls), dtype=bool)
+            if has.any():
+                pairs = np.array([*meta[has]], dtype=np.int64)
+                sizes[has] = pairs[:, 1]
+                is_orig[has] = ts[has] == pairs[:, 0]
+        else:
+            sizes = np.ones(len(urls), dtype=np.int64)
+            is_orig = np.ones(len(urls), dtype=bool)
         return pa.table(
             {
                 "url": batch["url"],
@@ -95,37 +101,31 @@ def cluster_meta(fingerprints_ds, comp: dict) -> dict:  # noqa: ANN001
         return {}
     comp_ref = ray.put(comp)
 
-    class MetaPartial:
-        def __init__(self, ref) -> None:  # noqa: ANN001
-            self._comp = ray.get(ref)
+    # stateless TASKS, not an actor pool: the comp map comes from the local
+    # object store per task (one ray.get of the broadcast ref), so the stage
+    # pays no actor-pool ramp-up — measured ~2 s of the old wall at bench
+    # scale for a pass this short
+    def meta_partial(batch: pa.Table) -> pa.Table:
+            import pandas as pd
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            comp_m = self._comp
-            d: dict[str, list] = {}
-            for u, t in zip(batch["url"].to_pylist(),
-                            batch["warc_ts"].cast(pa.int64()).to_pylist()):
-                cid = comp_m.get(u)
-                if cid is None:
-                    continue
-                cur = d.get(cid)
-                if cur is None:
-                    d[cid] = [t, 1]
-                else:
-                    if t < cur[0]:
-                        cur[0] = t
-                    cur[1] += 1
-            items = sorted(d.items())
+            urls = pd.Series(batch["url"].to_pylist(), dtype=object)
+            cids = urls.map(ray.get(comp_ref))
+            has = cids.notna()
+            g = pd.DataFrame({
+                "cid": cids[has],
+                "ts": batch["warc_ts"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False)[has.to_numpy()],
+            }).groupby("cid", sort=True)["ts"].agg(["min", "size"])
             return pa.table(
                 {
-                    "cluster_id": pa.array([k for k, _ in items], pa.string()),
-                    "min_ts": pa.array([v[0] for _, v in items], pa.int64()),
-                    "n": pa.array([v[1] for _, v in items], pa.int64()),
+                    "cluster_id": pa.array(g.index.to_numpy(), pa.string()),
+                    "min_ts": pa.array(g["min"].to_numpy(), pa.int64()),
+                    "n": pa.array(g["size"].to_numpy(), pa.int64()),
                 }
             )
 
     partials = fingerprints_ds.select_columns(["url", "warc_ts"]).map_batches(
-        MetaPartial, fn_constructor_args=(comp_ref,),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        meta_partial, batch_format="pyarrow", zero_copy_batch=True,
     )
     meta: dict[str, tuple[int, int]] = {}
     for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
