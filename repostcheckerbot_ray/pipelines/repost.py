@@ -582,7 +582,8 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         _mark("edges_write")
         from ..stages.clustering import assign_clusters_with_meta
 
-        clusters, _comp, _meta = assign_clusters_with_meta(fingerprints, edges)
+        clusters, _comp, _meta = assign_clusters_with_meta(
+            fingerprints, edges, edges_path=edges_dir)
         _mark("clusters_build")
         from ..stages.clustering import CLUSTERS_SCHEMA
 

@@ -35,8 +35,20 @@ CLUSTERS_SCHEMA = pa.schema(
 def collect_components(edges_ds) -> dict:  # noqa: ANN001
     """Stream edge batches to the driver, union-find, return url->cluster_id.
     Edges ≪ corpus by construction; streamed, never materialized as a
-    Dataset copy."""
+    Dataset copy. Accepts a local directory of edge parquet instead of a
+    Dataset — the same edge bytes reach the driver either way, but a direct
+    column-pruned read skips a whole Ray job's overhead."""
     pairs = []
+    if isinstance(edges_ds, str):
+        import glob
+        import os
+
+        import pyarrow.parquet as _pq
+
+        for f in sorted(glob.glob(os.path.join(edges_ds, "*.parquet"))):
+            t = _pq.read_table(f, columns=["url_a", "url_b"])
+            pairs.extend(zip(t["url_a"].to_pylist(), t["url_b"].to_pylist()))
+        return components_from_edges(pairs)
     for batch in edges_ds.select_columns(["url_a", "url_b"]).iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
@@ -143,13 +155,14 @@ def assign_clusters(fingerprints_ds, edges_ds):  # noqa: ANN001
     return ds
 
 
-def assign_clusters_with_meta(fingerprints_ds, edges_ds):  # noqa: ANN001
+def assign_clusters_with_meta(fingerprints_ds, edges_ds, edges_path: str | None = None):  # noqa: ANN001
     """Like :func:`assign_clusters`, but also returns (comp, meta) so the
     caller (e.g. the report sink) can pick top clusters driver-side without
-    re-aggregating the clusters relation."""
+    re-aggregating the clusters relation. ``edges_path`` (a just-written
+    local edge dir) lets component collection skip the Ray job."""
     import ray
 
-    comp = collect_components(edges_ds)
+    comp = collect_components(edges_path or edges_ds)
     meta = cluster_meta(fingerprints_ds, comp)
     comp_ref = ray.put(comp)
     meta_ref = ray.put(meta)
