@@ -496,10 +496,18 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         thresh = cfg.threshold
 
         def text_score_factory():
-            from ..functions.scoring import seq_ratio
+            from difflib import SequenceMatcher
 
             def score(a, b, ta, tb):  # noqa: ANN001
-                r = seq_ratio(ta, tb)
+                sm = SequenceMatcher(None, ta, tb)
+                # quick_ratio() is an O(n) UPPER bound on ratio() (difflib
+                # contract): a pair whose bound already fails the threshold
+                # cannot match, so skipping the O(n^2) ratio() there is
+                # exact. Most candidates that survive the simhash/length
+                # prefilter but aren't true near-dups die here.
+                if 10.0 - sm.quick_ratio() * 10.0 >= thresh:
+                    return None
+                r = sm.ratio()
                 # F1 predicate, /root/reference/database.py:396
                 return r * 100.0 if 10.0 - r * 10.0 < thresh else None
 
