@@ -270,7 +270,30 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
         all_counts = batch["band_keys"].combine_chunks().value_lengths()
         t_mask_np = all_counts.to_numpy(zero_copy_only=False) > 0
         t = batch.filter(pa.array(t_mask_np))
+        ch64_t = ch64_all[t_mask_np]
+        isnew_t = isnew_all[t_mask_np]
         if t.num_rows:
+            # batch-level combiner: duplicate contents share ALL band keys,
+            # and the scorer pairs only one REPRESENTATIVE per distinct
+            # chash64 per band run (min url — exact members reach the
+            # cluster through the "e" star edges). Dropping same-chash64
+            # rows here, keeping the min-url one, shrinks the exchange by
+            # the duplicate share (hot boilerplate families collapse to ~1
+            # row per batch) and cannot change edges: the global-min url is
+            # also the min within its own batch, so the scorer still picks
+            # the same representative.
+            import pandas as pd
+
+            urls_t = np.asarray(t["url"].to_pylist(), dtype=object)
+            if len(np.unique(ch64_t)) < len(ch64_t):
+                order = pd.DataFrame({"c": ch64_t, "u": urls_t}).sort_values(
+                    ["c", "u"], kind="stable").index.to_numpy()
+                cs = ch64_t[order]
+                first = np.r_[True, cs[1:] != cs[:-1]]
+                sel = np.sort(order[first])
+                t = t.take(pa.array(sel))
+                ch64_t = ch64_t[sel]
+                isnew_t = isnew_t[sel]
             bands = t["band_keys"].combine_chunks()
             counts = bands.value_lengths().to_numpy(zero_copy_only=False)
             flat = bands.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -278,10 +301,10 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
             rep_idx = np.repeat(np.arange(t.num_rows), counts)
             out.append(_subtable(
                 t["url"].take(idx), "t", salted_vec("t", flat),
-                ch64=ch64_all[t_mask_np][rep_idx],
+                ch64=ch64_t[rep_idx],
                 sim=t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)[rep_idx],
                 tl=t["text_len"].to_numpy(zero_copy_only=False).astype(np.uint32)[rep_idx],
-                new=isnew_all[t_mask_np][rep_idx],
+                new=isnew_t[rep_idx],
             ))
 
         # payload rows — PAYLOAD_BANDS per doc, vectorized per band index
