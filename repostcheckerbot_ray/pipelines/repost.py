@@ -487,7 +487,34 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         # candidates" — never a false skip.
         if ed_totals["rows"] == 0 or ed_totals.get("tcand", 1) == 0:
             return rd.from_arrow(edges_schema.empty_table())
-        needs = cands.map_batches(
+
+        # Global pair dedup FIRST, on the light (url_a, url_b) relation: a
+        # near-dup pair surfaces in up to NUM_BANDS band runs, and those
+        # land in ~NUM_BANDS different parts, so in-part dedup can't catch
+        # them (measured multiplicity ~18x at bench scale). One keyed
+        # exchange by pair_part collapses them before the need explosion,
+        # so the attach exchange moves unique pairs only.
+        from ..stages.pair_join import pair_parts
+
+        def add_pp(batch: pa.Table) -> pa.Table:
+            pp = pair_parts(batch["url_a"].combine_chunks(),
+                            batch["url_b"].combine_chunks(), cfg.num_parts)
+            return pa.table({"url_a": batch["url_a"], "url_b": batch["url_b"],
+                             "pp": pa.array(pp, pa.int32())})
+
+        def uniq(group: pa.Table) -> pa.Table:
+            g = group.sort_by([("url_a", "ascending"), ("url_b", "ascending")])
+            a = g["url_a"].to_pylist()
+            b = g["url_b"].to_pylist()
+            keep = [i for i in range(len(a))
+                    if i == 0 or a[i] != a[i - 1] or b[i] != b[i - 1]]
+            return g.select(["url_a", "url_b"]).take(pa.array(keep))
+
+        unique_pairs = cands.map_batches(
+            add_pp, batch_format="pyarrow", zero_copy_batch=True,
+        ).repartition(cfg.shuffle_blocks).groupby("pp").map_groups(
+            uniq, batch_format="pyarrow")
+        needs = unique_pairs.map_batches(
             explode_needs(cfg.num_parts, cfg.num_parts, "url_a", "url_b"),
             batch_format="pyarrow", zero_copy_batch=True,
         )
