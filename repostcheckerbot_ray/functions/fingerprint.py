@@ -162,10 +162,17 @@ def fingerprint_text_many(token_lists: list[list[str]],
     ``simhash64 / band_keys(minhash_signature(...))`` over
     ``shingle_hashes(token_hash_array(toks))`` (pinned by test_functions).
 
-    Vectorization: one shingle fold over the concatenated token-hash array
-    (cross-document windows discarded), then segment aggregation with
-    ``np.minimum.reduceat`` / ``np.add.reduceat`` instead of one numpy call
-    chain per document — the per-batch cost is a handful of large kernels.
+    ``want_bands=False`` skips the minhash work and returns the RAW
+    (n, NUM_PERMS) sentinel signature matrix as the third value (garbage —
+    callers must ignore it); ``want_simhash=False`` likewise leaves the
+    simhash column all-zeros. Use the flags only to drop a channel you do
+    not consume.
+
+    Vectorization: token hashing once per unique token (factorize + cache),
+    ONE shingle fold over the concatenated token-hash array (cross-document
+    windows discarded), then per-doc min/vote over views with a reused
+    multiply buffer — see the in-body comment for why whole-batch reduceat
+    loses on memory-bandwidth-starved hosts.
     """
     n = len(token_lists)
     tok_h_flat, lens = token_hash_flat(token_lists, cache)

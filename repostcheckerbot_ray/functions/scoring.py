@@ -37,6 +37,19 @@ def text_match(ratio: float, thresh: float = DEFAULT_THRESHOLD) -> bool:
     return 10.0 - ratio * 10.0 < thresh
 
 
+def seq_score_or_none(ta: str, tb: str, thresh: float = DEFAULT_THRESHOLD) -> float | None:
+    """F1 in one call: pct (ratio*100) when the pair matches, else None.
+
+    Prunes with ``quick_ratio()`` first — an O(n) UPPER bound on ``ratio()``
+    (difflib contract), so a pair whose bound already fails the threshold
+    cannot match and skipping the O(n²) ratio() there is exact."""
+    sm = SequenceMatcher(None, ta, tb)
+    if not text_match(sm.quick_ratio(), thresh):
+        return None
+    r = sm.ratio()
+    return text_pct(r) if text_match(r, thresh) else None
+
+
 def text_pct(ratio: float) -> float:
     return ratio * 100.0
 

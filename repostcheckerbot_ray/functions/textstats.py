@@ -24,8 +24,11 @@ LANG_PROFILES: dict[str, frozenset[str]] = {
     "es": frozenset("el la los las y de que un una es no en por para con".split()),
 }
 
+# \s is deliberately ASCII (re.ASCII) so the Python definition, Arrow's
+# pc.count_substring_regex and DuckDB's regexp_extract_all (both RE2, where
+# \s is ASCII-only) agree byte-for-byte on any input, incl. Unicode spaces.
 BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
-_BPEISH_RE = re.compile(BPEISH_PATTERN)
+_BPEISH_RE = re.compile(BPEISH_PATTERN, re.ASCII)
 _PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
 _STOP_EN = LANG_PROFILES["en"]
 

@@ -508,14 +508,15 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
             b = g["url_b"].to_pylist()
             keep = [i for i in range(len(a))
                     if i == 0 or a[i] != a[i - 1] or b[i] != b[i - 1]]
-            return g.select(["url_a", "url_b"]).take(pa.array(keep))
+            return g.take(pa.array(keep))  # keeps pp for the need explosion
 
         unique_pairs = cands.map_batches(
             add_pp, batch_format="pyarrow", zero_copy_batch=True,
         ).repartition(cfg.shuffle_blocks).groupby("pp").map_groups(
             uniq, batch_format="pyarrow")
         needs = unique_pairs.map_batches(
-            explode_needs(cfg.num_parts, cfg.num_parts, "url_a", "url_b"),
+            explode_needs(cfg.num_parts, cfg.num_parts, "url_a", "url_b",
+                          pp_col="pp"),
             batch_format="pyarrow", zero_copy_batch=True,
         )
         attached = needs.repartition(cfg.shuffle_blocks).groupby("part").map_groups(
@@ -523,20 +524,12 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         thresh = cfg.threshold
 
         def text_score_factory():
-            from difflib import SequenceMatcher
+            # F1 predicate + exact quick_ratio prune, centralized with the
+            # rest of the reference scoring semantics
+            from ..functions.scoring import seq_score_or_none
 
             def score(a, b, ta, tb):  # noqa: ANN001
-                sm = SequenceMatcher(None, ta, tb)
-                # quick_ratio() is an O(n) UPPER bound on ratio() (difflib
-                # contract): a pair whose bound already fails the threshold
-                # cannot match, so skipping the O(n^2) ratio() there is
-                # exact. Most candidates that survive the simhash/length
-                # prefilter but aren't true near-dups die here.
-                if 10.0 - sm.quick_ratio() * 10.0 >= thresh:
-                    return None
-                r = sm.ratio()
-                # F1 predicate, /root/reference/database.py:396
-                return r * 100.0 if 10.0 - r * 10.0 < thresh else None
+                return seq_score_or_none(ta, tb, thresh)
 
             return score
 

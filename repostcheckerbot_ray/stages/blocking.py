@@ -284,8 +284,8 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
             # the same representative.
             import pandas as pd
 
-            urls_t = np.asarray(t["url"].to_pylist(), dtype=object)
             if len(np.unique(ch64_t)) < len(ch64_t):
+                urls_t = np.asarray(t["url"].to_pylist(), dtype=object)
                 order = pd.DataFrame({"c": ch64_t, "u": urls_t}).sort_values(
                     ["c", "u"], kind="stable").index.to_numpy()
                 cs = ch64_t[order]

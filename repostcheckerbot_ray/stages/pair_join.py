@@ -75,14 +75,20 @@ def pair_parts(a_arr, b_arr, num_parts: int) -> np.ndarray:  # noqa: ANN001
 
 
 def explode_needs(num_parts_text: int, num_parts_pair: int,
-                  a_col: str = "a", b_col: str = "b"):
-    """pairs batch -> two need rows per pair: (part, pair_part, k, a, b)."""
+                  a_col: str = "a", b_col: str = "b",
+                  pp_col: str | None = None):
+    """pairs batch -> two need rows per pair: (part, pair_part, k, a, b).
+    ``pp_col`` names a precomputed pair_part column (saves re-hashing every
+    pair when an upstream dedup exchange already computed it)."""
 
     def f(batch: pa.Table) -> pa.Table:
         A = batch[a_col].combine_chunks()
         B = batch[b_col].combine_chunks()
         key_type = batch[a_col].type
-        pp = pair_parts(A, B, num_parts_pair)
+        if pp_col is not None and pp_col in batch.column_names:
+            pp = batch[pp_col].to_numpy(zero_copy_only=False).astype(np.int32)
+        else:
+            pp = pair_parts(A, B, num_parts_pair)
         part_a = key_parts(A, num_parts_text)
         part_b = key_parts(B, num_parts_text)
         both_k = pa.concat_arrays([A, B])

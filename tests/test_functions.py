@@ -260,3 +260,21 @@ def test_fingerprint_text_many_bit_identical_to_per_doc():
     # empty batch
     lens, sim, bk = fp.fingerprint_text_many([], {})
     assert len(lens) == 0 and len(sim) == 0 and bk.shape == (0, fp.NUM_BANDS)
+
+
+def test_bpeish_count_three_engine_parity_incl_unicode_ws():
+    """token_count_bpeish (Python re, ASCII \\s), Arrow's RE2
+    count_substring_regex and DuckDB's RE2 regexp_extract_all must agree on
+    inputs containing Unicode whitespace (NBSP is a symbol token in all
+    three — the \\s classes are pinned ASCII on purpose)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for s in ["a\u00a0b ab12, cd", "", "   ", "na\u00efve caf\u00e9 \u2615 12a", "a\u00a0\u2009b"]:
+        py = textstats.token_count_bpeish(s)
+        ar = pc.count_substring_regex(pa.array([s]), textstats.BPEISH_PATTERN)[0].as_py()
+        dk = duckdb.sql(
+            "SELECT len(regexp_extract_all(?, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))",
+            params=[s]).fetchone()[0]
+        assert py == ar == dk, (s, py, ar, dk)
