@@ -137,3 +137,25 @@ def test_payload_hot_band_emits_salt_sentinel(ray_session):
     assert sent.num_rows == 1
     assert sent["kind"][0].as_py() == "tcand"
     assert int(sent["url_b"][0].as_py()) >= 1
+
+
+def test_cached_get_deserializes_once_per_ref(ray_session):
+    """Worker-level broadcast cache: repeated gets of the same ref hit the
+    cache; capacity eviction clears before inserting the fifth ref."""
+    import ray
+
+    from repostcheckerbot_ray.stages import clustering
+
+    clustering._REF_CACHE.clear()
+    r1 = ray.put({"a": 1})
+    r2 = ray.put({"b": 2})
+    assert clustering._cached_get(r1) == {"a": 1}
+    v1 = clustering._cached_get(r1)
+    assert v1 is clustering._REF_CACHE[r1]  # cache hit, same object
+    assert clustering._cached_get(r2) == {"b": 2}
+    assert len(clustering._REF_CACHE) == 2
+    for i in range(3):
+        clustering._cached_get(ray.put({"x": i}))
+    # capacity bound respected (cleared once at >=4, then refilled)
+    assert len(clustering._REF_CACHE) <= 4
+    clustering._REF_CACHE.clear()
