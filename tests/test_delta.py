@@ -98,3 +98,54 @@ def test_delta_rejects_num_parts_mismatch(ray_session, split_fixture, tmp_path):
         run_repost_delta(hist_out, split_fixture["delta"],
                          str(tmp_path / "delta_np8"),
                          RepostConfig(num_parts=8))
+
+
+def test_delta_combiner_with_new_exact_copy_of_history_content(ray_session, tmp_path):
+    """The text-band combiner keeps one row per distinct content per batch;
+    when a NEW page is an exact copy of a HISTORY page, the history rep may
+    be the survivor and the text run then looks pure-history — the cluster
+    must still be complete via the exact-channel star edge plus the re-used
+    history edge. Pin: delta clusters == full recompute on exactly that
+    shape (both orderings of the url min)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = "x " + " ".join(f"tok{i}" for i in range(120))
+    near = "x " + " ".join(f"tok{i}" for i in range(118)) + " zz yy"
+
+    def pages(rows):
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "html": pa.array([b"" for _ in rows], pa.binary()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+            }
+        )
+
+    # copy url sorts BEFORE the history url in one case, AFTER in the other
+    for copy_url in ("http://a-copy", "http://z-copy"):
+        root = tmp_path / copy_url.split("//")[1]
+        hist = root / "hist"; delta = root / "delta"; full = root / "full"
+        hist.mkdir(parents=True); delta.mkdir(); full.mkdir()
+        h_rows = [("http://h-orig", 1_000_000, base),
+                  ("http://h-near", 2_000_000, near)]
+        d_rows = [(copy_url, 3_000_000, base)]
+        pq.write_table(pages(h_rows), hist / "p0.parquet")
+        pq.write_table(pages(d_rows), delta / "p0.parquet")
+        pq.write_table(pages(h_rows + d_rows), full / "p0.parquet")
+
+        cfg = RepostConfig(num_parts=4)
+        run_repost_pipeline(str(hist), str(root / "hist_out"), cfg)
+        dres = run_repost_delta(str(root / "hist_out"), str(delta),
+                                str(root / "delta_out"), cfg)
+        fres = run_repost_pipeline(str(full), str(root / "full_out"), cfg)
+
+        want = fres["clusters"].to_pandas()[["url", "cluster_id"]]
+        got = dres["clusters"].to_pandas()[["url", "cluster_id"]]
+        want = want.sort_values("url").reset_index(drop=True)
+        got = got.sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+        # all three pages in ONE cluster
+        assert want["cluster_id"].nunique() == 1
