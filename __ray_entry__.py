@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": corpus_ops.repetition_stats,          # quality
         "event_window_counts": corpus_ops.event_window_counts,    # windowed agg
         "session_counts": corpus_ops.session_counts,              # session windows
+        "asof_join_events": corpus_ops.asof_join_events,          # temporal as-of join
         # dedup family (cluster outputs SQL-predictable via exact-copy union)
         "minhash_dedup_clusters": corpus_ops.minhash_dedup_clusters,  # E4/D3
         "simhash_dedup_clusters": corpus_ops.simhash_dedup_clusters,
@@ -297,6 +298,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(session_id AS BIGINT) AS session_id,"
             "  CAST(COUNT(*) AS BIGINT) AS n_events "
             "FROM s GROUP BY user_id, session_id"
+        ),
+        # backward as-of join; LATERAL keeps the tie-break (max ts, then max
+        # event_id) explicit — deterministic on both sides
+        "asof_join_events": (
+            "SELECT p.event_id, p.user_id, p.ts, "
+            "v.event_id AS view_event_id, v.ts AS view_ts "
+            "FROM events p LEFT JOIN LATERAL ("
+            "  SELECT event_id, ts FROM events v"
+            "  WHERE v.user_id = p.user_id AND v.event_type = 'view'"
+            "    AND v.ts <= p.ts"
+            "  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) v ON TRUE "
+            "WHERE p.event_type = 'purchase'"
         ),
         "tombstone_anti_join": (
             "SELECT event_id, user_id FROM events WHERE user_id NOT IN "

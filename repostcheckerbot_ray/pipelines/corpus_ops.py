@@ -273,6 +273,77 @@ def session_counts(sf_dir: str):
             .select_columns(["user_id", "session_id", "n_events"]))
 
 
+def asof_join_events(sf_dir: str, probe_type: str = "purchase",
+                     ref_type: str = "view"):
+    """Backward AS-OF join (temporal join Ray Data lacks natively): each
+    ``probe_type`` event gets the latest ``ref_type`` event of the SAME
+    user with ``ref.ts <= probe.ts`` (ties broken by max event_id — fully
+    deterministic, matching the SQL oracle's ORDER BY ts DESC, event_id
+    DESC LIMIT 1). LEFT semantics: probes with no prior reference keep
+    nulls.
+
+    Partitioning assumption (documented per the custom-operator rule): both
+    sides co-partition by ``hash(user_id) % 32`` — one keyed exchange of the
+    two pruned event subsets; within a part the join is a per-user
+    numpy ``searchsorted`` over (ts, event_id)-sorted reference rows. Skew
+    = events per user; a pathological single hot user bounds one group.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        from ..functions.fingerprint import splitmix64
+
+        t = batch.filter(pc.is_in(batch["event_type"],
+                                  value_set=pa.array([probe_type, ref_type])))
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = splitmix64(uid) % np.uint64(32)
+        return t.append_column("part", pa.array(part.astype(np.int32)))
+
+    def asof(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        is_ref = np.asarray(g["event_type"].to_numpy(zero_copy_only=False)
+                            == ref_type)
+        out_pid, out_uid, out_ts, out_rid, out_rts = [], [], [], [], []
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        for s_, e_ in zip(starts, ends):
+            ref = is_ref[s_:e_]
+            p_idx = np.flatnonzero(~ref) + s_
+            if len(p_idx) == 0:
+                continue
+            r_idx = np.flatnonzero(ref) + s_
+            # rows are (ts, event_id)-sorted, so searchsorted-right lands
+            # after ALL refs with ts <= probe ts; -1 = the max-(ts, id) one
+            pos = np.searchsorted(ts[r_idx], ts[p_idx], side="right") - 1
+            for k, p in enumerate(p_idx):
+                out_pid.append(int(eid[p]))
+                out_uid.append(int(uid[p]))
+                out_ts.append(int(ts[p]))
+                if pos[k] >= 0:
+                    r = r_idx[pos[k]]
+                    out_rid.append(int(eid[r]))
+                    out_rts.append(int(ts[r]))
+                else:
+                    out_rid.append(None)
+                    out_rts.append(None)
+        return pa.table(
+            {
+                "event_id": pa.array(out_pid, pa.int64()),
+                "user_id": pa.array(out_uid, pa.int64()),
+                "ts": pa.array(out_ts, pa.int64()).cast(pa.timestamp("us")),
+                "view_event_id": pa.array(out_rid, pa.int64()),
+                "view_ts": pa.array(out_rts, pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+
+    rows = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return rows.groupby("part").map_groups(asof, batch_format="pyarrow")
+
+
 def event_window_counts(sf_dir: str):
     """Tumbling 1-day window count per event_type (streaming-shaped op on a
     batch engine: bucket column + grouped aggregate)."""
