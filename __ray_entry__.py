@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_window_counts": corpus_ops.event_window_counts,    # windowed agg
         "session_counts": corpus_ops.session_counts,              # session windows
         "asof_join_events": corpus_ops.asof_join_events,          # temporal as-of join
+        "hopping_window_counts": corpus_ops.hopping_window_counts,  # sliding windows
         # dedup family (cluster outputs SQL-predictable via exact-copy union)
         "minhash_dedup_clusters": corpus_ops.minhash_dedup_clusters,  # E4/D3
         "simhash_dedup_clusters": corpus_ops.simhash_dedup_clusters,
@@ -298,6 +299,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(session_id AS BIGINT) AS session_id,"
             "  CAST(COUNT(*) AS BIGINT) AS n_events "
             "FROM s GROUP BY user_id, session_id"
+        ),
+        # hopping windows: 1h size / 30min hop = exactly two integer window
+        # assignments per event; epoch_us keeps everything BIGINT-exact
+        "hopping_window_counts": (
+            "WITH w AS ("
+            "  SELECT event_type,"
+            "    (epoch_us(ts) // 1800000000) * 1800000000 AS window_start"
+            "  FROM events"
+            "  UNION ALL"
+            "  SELECT event_type,"
+            "    (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000"
+            "  FROM events) "
+            "SELECT event_type, window_start, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM w GROUP BY event_type, window_start"
         ),
         # backward as-of join; LATERAL keeps the tie-break (max ts, then max
         # event_id) explicit — deterministic on both sides

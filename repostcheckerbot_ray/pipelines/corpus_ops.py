@@ -273,6 +273,48 @@ def session_counts(sf_dir: str):
             .select_columns(["user_id", "session_id", "n_events"]))
 
 
+HOP_US = 1_800 * 1_000_000          # 30-min hop
+WINDOW_US = 2 * HOP_US              # 1-h windows -> each event in exactly 2
+
+
+def hopping_window_counts(sf_dir: str):
+    """Hopping (sliding) window aggregate: 1-hour windows every 30 minutes,
+    count per (event_type, window_start). window = 2 x hop, so each event
+    lands in exactly two windows — emitted as two assignment rows, partially
+    aggregated per batch (combiner), then one small groupby-sum exchange.
+    window_start is emitted as BIGINT epoch-microseconds so the compare with
+    the SQL oracle is integer-exact."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w0 = (ts // HOP_US) * HOP_US
+        et = batch["event_type"]
+        both = pa.table(
+            {
+                "event_type": pa.concat_arrays(
+                    [et.combine_chunks(), et.combine_chunks()]),
+                "window_start": pa.array(np.concatenate([w0, w0 - HOP_US]),
+                                         pa.int64()),
+            }
+        )
+        g = both.group_by(["event_type", "window_start"]).aggregate(
+            [([], "count_all")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "window_start": g["window_start"],
+                "n_part": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n_part", alias_name="n"))
+
+
 def asof_join_events(sf_dir: str, probe_type: str = "purchase",
                      ref_type: str = "view"):
     """Backward AS-OF join (temporal join Ray Data lacks natively): each
