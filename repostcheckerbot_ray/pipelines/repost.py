@@ -512,14 +512,14 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
 
         unique_pairs = cands.map_batches(
             add_pp, batch_format="pyarrow", zero_copy_batch=True,
-        ).repartition(cfg.shuffle_blocks).groupby("pp").map_groups(
-            uniq, batch_format="pyarrow")
+        ).groupby("pp").map_groups(
+            uniq, batch_format="pyarrow")  # blocks already few; no coalesce pass
         needs = unique_pairs.map_batches(
             explode_needs(cfg.num_parts, cfg.num_parts, "url_a", "url_b",
                           pp_col="pp"),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        attached = needs.repartition(cfg.shuffle_blocks).groupby("part").map_groups(
+        attached = needs.groupby("part").map_groups(
             make_checkpoint_attacher(fp_ckpt_dirs), batch_format="pyarrow")
         thresh = cfg.threshold
 
