@@ -580,7 +580,7 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     if ed_totals.get("direct", ed_totals["rows"]) + tv_rows + n_extra_edges == 0:
         edges = rd.from_arrow(EDGES_SCHEMA.empty_table())
     else:
-        edges = dedup_edges(all_edges.repartition(max(2, cfg.shuffle_blocks // 2)))
+        edges = dedup_edges(all_edges)  # edge-sized; no coalesce pass needed
 
     # --- Stage 4: clusters (E4) ---------------------------------------------
     import ray.data as rd
