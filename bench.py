@@ -137,6 +137,7 @@ def run_bench() -> dict:
     timed("source_reclassify", lambda: corpus_ops.source_reclassify(SF_DIR))
     timed("knn_cosine", lambda: embedding_ops.knn_brute_force(SF_DIR))
     timed("knn_ivf", lambda: embedding_ops.knn_ivf(SF_DIR))
+    timed("knn_lsh", lambda: embedding_ops.knn_lsh(SF_DIR))
     timed("embedding_dup_pairs", lambda: embedding_ops.embedding_dup_pairs(SF_DIR))
 
     result = {
