@@ -424,10 +424,19 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
             band_ref = _delta_band_ref()
 
             def prune(t: pa.Table) -> pa.Table:
-                bands = ray.get(band_ref)
+                bands = ray.get(band_ref)  # np.unique output -> sorted
                 bk = t["band_key"].to_numpy(zero_copy_only=False)
                 new = t["is_new"].to_numpy(zero_copy_only=False)
-                return t.filter(pa.array(new | _np.isin(bk, bands)))
+                # searchsorted membership: O(n log m) per batch with NO
+                # re-sort of the broadcast key set (np.isin sorts both
+                # sides on every call — measured seconds per delta run)
+                if len(bands):
+                    pos = _np.searchsorted(bands, bk)
+                    pos[pos == len(bands)] = 0
+                    hit = bands[pos] == bk
+                else:
+                    hit = _np.zeros(len(bk), dtype=bool)
+                return t.filter(pa.array(new | hit))
 
             rows = rows.map_batches(prune, batch_format="pyarrow",
                                     zero_copy_batch=True)
