@@ -278,3 +278,27 @@ def test_bpeish_count_three_engine_parity_incl_unicode_ws():
             "SELECT len(regexp_extract_all(?, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))",
             params=[s]).fetchone()[0]
         assert py == ar == dk, (s, py, ar, dk)
+
+
+def test_fingerprint_text_many_property_random_docs():
+    """Property check (seeded Hypothesis): for ANY batch of token lists —
+    unicode tokens, repeats, empties, short docs — the batched path equals
+    the per-doc chain exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.text(min_size=1, max_size=8).filter(lambda s: not any(c.isspace() for c in s))
+    doc = st.lists(token, min_size=0, max_size=40)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(doc, min_size=0, max_size=12))
+    def check(docs):
+        lens, sim, bk = fp.fingerprint_text_many(docs, {})
+        for i, toks in enumerate(docs):
+            sh = fp.shingle_hashes(fp.token_hash_array(toks))
+            assert lens[i] == len(toks)
+            assert int(sim[i]) == fp.simhash64(sh)
+            np.testing.assert_array_equal(
+                bk[i], fp.band_keys(fp.minhash_signature(sh)))
+
+    check()
