@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_counts": corpus_ops.session_counts,              # session windows
         "asof_join_events": corpus_ops.asof_join_events,          # temporal as-of join
         "hopping_window_counts": corpus_ops.hopping_window_counts,  # sliding windows
+        "range_join_events": corpus_ops.range_join_events,        # bounded range join
         # dedup family (cluster outputs SQL-predictable via exact-copy union)
         "minhash_dedup_clusters": corpus_ops.minhash_dedup_clusters,  # E4/D3
         "simhash_dedup_clusters": corpus_ops.simhash_dedup_clusters,
@@ -313,6 +314,14 @@ def oracle_sql() -> dict[str, str]:
             "  FROM events) "
             "SELECT event_type, window_start, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM w GROUP BY event_type, window_start"
+        ),
+        # bounded range join: strictly-after, inclusive upper bound —
+        # mirrors the Ray side's (lo, hi] searchsorted interval exactly
+        "range_join_events": (
+            "SELECT l.event_id AS left_event_id, r.event_id AS right_event_id "
+            "FROM events l JOIN events r ON r.user_id = l.user_id "
+            "WHERE l.event_type = 'click' AND r.event_type = 'error' "
+            "  AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 15 MINUTE"
         ),
         # backward as-of join; LATERAL keeps the tie-break (max ts, then max
         # event_id) explicit — deterministic on both sides

@@ -133,6 +133,7 @@ def run_bench() -> dict:
     timed("session_counts", lambda: corpus_ops.session_counts(SF_DIR))
     timed("asof_join_events", lambda: corpus_ops.asof_join_events(SF_DIR))
     timed("hopping_window_counts", lambda: corpus_ops.hopping_window_counts(SF_DIR))
+    timed("range_join_events", lambda: corpus_ops.range_join_events(SF_DIR))
     timed("tombstone_anti_join", lambda: corpus_ops.tombstone_anti_join(SF_DIR))
     timed("source_reclassify", lambda: corpus_ops.source_reclassify(SF_DIR))
     timed("knn_cosine", lambda: embedding_ops.knn_brute_force(SF_DIR))

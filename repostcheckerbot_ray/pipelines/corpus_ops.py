@@ -273,6 +273,65 @@ def session_counts(sf_dir: str):
             .select_columns(["user_id", "session_id", "n_events"]))
 
 
+RANGE_JOIN_WINDOW_US = 15 * 60 * 1_000_000  # 15-min range
+
+
+def range_join_events(sf_dir: str, left_type: str = "click",
+                      right_type: str = "error",
+                      window_us: int = RANGE_JOIN_WINDOW_US):
+    """Bounded-range temporal join (range join Ray Data lacks natively):
+    pair every ``left_type`` event with every ``right_type`` event of the
+    SAME user whose ts falls in ``(left.ts, left.ts + window]`` — "errors
+    within 15 minutes after a click". Co-partitioned by
+    ``hash(user_id) % 32`` like the as-of join; within a part the matches
+    per left row are one ``searchsorted`` interval over the user's
+    ts-sorted right rows (no quadratic scan). Output cardinality is the
+    true join size — bounded by the window, not by group size."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        from ..functions.fingerprint import splitmix64
+
+        t = batch.filter(pc.is_in(batch["event_type"],
+                                  value_set=pa.array([left_type, right_type])))
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = splitmix64(uid) % np.uint64(32)
+        return t.append_column("part", pa.array(part.astype(np.int32)))
+
+    def rjoin(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        is_l = np.asarray(g["event_type"].to_numpy(zero_copy_only=False)
+                          == left_type)
+        la, lb = [], []
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        for s_, e_ in zip(starts, ends):
+            l_idx = np.flatnonzero(is_l[s_:e_]) + s_
+            r_idx = np.flatnonzero(~is_l[s_:e_]) + s_
+            if len(l_idx) == 0 or len(r_idx) == 0:
+                continue
+            rts = ts[r_idx]
+            lo = np.searchsorted(rts, ts[l_idx], side="right")       # strictly after
+            hi = np.searchsorted(rts, ts[l_idx] + window_us, side="right")
+            for k in np.flatnonzero(hi > lo):
+                for r in r_idx[lo[k]:hi[k]]:
+                    la.append(int(eid[l_idx[k]]))
+                    lb.append(int(eid[r]))
+        return pa.table(
+            {
+                "left_event_id": pa.array(la, pa.int64()),
+                "right_event_id": pa.array(lb, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return rows.groupby("part").map_groups(rjoin, batch_format="pyarrow")
+
+
 HOP_US = 1_800 * 1_000_000          # 30-min hop
 WINDOW_US = 2 * HOP_US              # 1-h windows -> each event in exactly 2
 
