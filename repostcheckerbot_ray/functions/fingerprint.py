@@ -136,6 +136,20 @@ def token_hash_flat(token_lists: list[list[str]], cache: dict[str, int] | None =
     flat = [tok for toks in token_lists for tok in toks]
     if not flat:
         return np.empty(0, dtype=np.uint64), lens
+    # pandas' all-string factorize hashes C strings, so tokens differing
+    # only past an embedded NUL byte would COLLAPSE (found by the Hypothesis
+    # pin). NUL tokens are pathological — detect in one C-level pass and
+    # take the exact per-token dict path for that batch.
+    if any("\x00" in t for t in flat):
+        out = np.empty(len(flat), dtype=np.uint64)
+        c = cache if cache is not None else {}
+        for i, t in enumerate(flat):
+            h = c.get(t)
+            if h is None:
+                h = token_hash(t)
+                c[t] = h
+            out[i] = h
+        return out, lens
     codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
     uh = np.empty(len(uniques), dtype=np.uint64)
     if cache is None:
