@@ -50,6 +50,37 @@ _TRI_PAIRS_CTE = (
 )
 
 
+def _simhash_cte() -> str | None:
+    """VALUES-CTE of (doc_id, simhash) for the simhash_dedup_clusters
+    oracle, computed by the SAME sketch function the Ray pipeline uses
+    (functions.fingerprint.fingerprint_text_many — itself pinned
+    bit-identical to the per-doc chain by tests/test_functions.py).
+
+    The sketch is Python-hash-based and not SQL-expressible, so it enters
+    the oracle as shared INPUT; everything the distributed pipeline could
+    get wrong — 16-bit-band blocking recall, max_block sharding, in-group
+    Hamming verification, transitive-closure labeling — is then checked by
+    DuckDB's independent brute-force O(n²) ``bit_count(xor(a,b))`` pair scan
+    plus recursive-CTE closure. The driver compares Ray vs oracle at
+    sf=0.01 (driver contract); override with GRAFT_ORACLE_SF_DIR."""
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as _pq
+
+    from repostcheckerbot_ray.functions.fingerprint import fingerprint_text_many
+
+    t = _pq.read_table(path, columns=["doc_id", "text"])
+    cache: dict = {}
+    _, sims, _ = fingerprint_text_many(
+        [x.lower().split() for x in t["text"].to_pylist()], cache,
+        want_bands=False)
+    rows = ",".join(f"({i},{int(s)}::UBIGINT)"
+                    for i, s in zip(t["doc_id"].to_pylist(), sims.tolist()))
+    return f"sims(doc_id, simhash) AS (SELECT * FROM (VALUES {rows}) v)"
+
+
 def _corpus_dir(tag: str) -> str:
     """Deterministic synthetic pages corpus (FIXTURES.md) cached under /tmp —
     the input-hint-shaped table for flagship/multimodal queries."""
@@ -188,7 +219,31 @@ def _media_features(sf_dir: str) -> Any:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {}
+    _sims = _simhash_cte()
+    if _sims is not None:
+        # brute-force O(n²) Hamming pair scan + recursive-CTE closure over
+        # the shared simhash sketch column (see _simhash_cte docstring) —
+        # same contract as the minhash_dedup_clusters oracle: equality
+        # proves blocking recall AND transitive labeling end-to-end.
+        out["simhash_dedup_clusters"] = (
+            "WITH RECURSIVE " + _sims + ","
+            "pairs AS ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b"
+            "  FROM sims a JOIN sims b ON a.doc_id < b.doc_id"
+            "  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),"
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+            "          UNION ALL SELECT id_b, id_a FROM pairs),"
+            "reach(src, dst) AS ("
+            "  SELECT a, b FROM edges"
+            "  UNION"
+            "  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst) "
+            "SELECT d.doc_id,"
+            "  LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id "
+            "FROM documents d LEFT JOIN reach r ON r.src = d.doc_id "
+            "GROUP BY d.doc_id"
+        )
+    out.update({
         "exact_dedup_by_key": (
             "SELECT source, lang, CAST(MIN(doc_id) AS BIGINT) AS doc_id "
             "FROM documents GROUP BY source, lang"
@@ -302,15 +357,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM s GROUP BY user_id, session_id"
         ),
         # hopping windows: 1h size / 30min hop = exactly two integer window
-        # assignments per event; epoch_us keeps everything BIGINT-exact
+        # assignments per event; epoch_us keeps everything BIGINT-exact.
+        # Window start uses FLOOR division written as the integer floor-mod
+        # identity e - ((e % k) + k) % k, because DuckDB's // truncates
+        # toward zero while the Ray side's numpy int64 // floors — they
+        # disagree on pre-1970 (negative epoch_us) events.
         "hopping_window_counts": (
             "WITH w AS ("
             "  SELECT event_type,"
-            "    (epoch_us(ts) // 1800000000) * 1800000000 AS window_start"
+            "    epoch_us(ts) - ((epoch_us(ts) % 1800000000) + 1800000000)"
+            "      % 1800000000 AS window_start"
             "  FROM events"
             "  UNION ALL"
             "  SELECT event_type,"
-            "    (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000"
+            "    epoch_us(ts) - ((epoch_us(ts) % 1800000000) + 1800000000)"
+            "      % 1800000000 - 1800000000"
             "  FROM events) "
             "SELECT event_type, window_start, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM w GROUP BY event_type, window_start"
@@ -358,10 +419,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, substring(MAX(r), 3) AS source_resolved "
             "FROM ranked GROUP BY doc_id"
         ),
-        # text_analysis / simhash_dedup_clusters / knn_ivf / knn_lsh /
-        # repost_* / media_features: intentionally omitted (heuristic,
-        # Python-hash-based, approximate, or full-pipeline outputs over the
-        # synthetic corpus) -> rows-only check. simhash clusters and the
-        # flagship are pinned by pytest (brute-force closure / F1 gate);
-        # minhash_dedup_clusters IS oracled above (recursive-CTE closure).
-    }
+        # text_analysis / knn_ivf / knn_lsh / repost_* / media_features:
+        # intentionally omitted (heuristic, approximate, or full-pipeline
+        # outputs over the synthetic corpus) -> rows-only check; each is
+        # value-pinned by pytest instead. simhash_dedup_clusters and
+        # minhash_dedup_clusters ARE oracled above (recursive-CTE closure).
+    })
+    return out

@@ -40,6 +40,34 @@ COPY_SHIFT = 100_000
 TTL_CUTOFF = "2024-01-15 00:00:00"
 
 
+def _cluster_cpus() -> int:
+    import ray
+
+    if ray.is_initialized():
+        return int(ray.cluster_resources().get("CPU", 0)) or 4
+    import os
+
+    return os.cpu_count() or 4
+
+
+def _pool_size() -> tuple:
+    """Actor-pool ``concurrency`` sized to the cluster, with headroom for
+    the shuffle/read tasks that run alongside (a pool reserving every CPU
+    starves the downstream exchange — same rule as the flagship's
+    fingerprint pool). Autoscaling lower bound keeps tiny inputs from
+    paying full pool ramp-up."""
+    cpus = _cluster_cpus()
+    return (1, max(2, cpus - max(2, cpus // 4)))
+
+
+def _n_parts() -> int:
+    """Part count for keyed exchanges (hash(key) % P): ≥ 2× CPUs so no
+    stage is capped below cluster parallelism; results are P-invariant
+    (the key function keeps all rows of a band/user together regardless
+    of P)."""
+    return max(32, 2 * _cluster_cpus())
+
+
 def _read(sf_dir: str, table: str, columns: list[str]):
     import ray.data as rd
 
@@ -226,12 +254,13 @@ def session_counts(sf_dir: str):
     """Gap-based session windows per user (the streaming-session analogue
     on a batch engine): events sorted per user by (ts, event_id); a gap
     > 30 min starts a new session; output one row per (user, session) with
-    its event count. Keyed exchange on part = hash(user_id) % 32, NOT raw
-    user_id — the house rule (see _candidate_pairs_ds / dedup_edges): one
-    group per user would mean one Python dispatch per user; here all users
-    of a part are sessionized in ONE vectorized pass over the
-    (user, ts)-sorted part."""
+    its event count. Keyed exchange on part = hash(user_id) % P (P sized to
+    the cluster), NOT raw user_id — the house rule (see _candidate_pairs_ds
+    / dedup_edges): one group per user would mean one Python dispatch per
+    user; here all users of a part are sessionized in ONE vectorized pass
+    over the (user, ts)-sorted part."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    n_parts = _n_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
         from ..functions.fingerprint import splitmix64
@@ -240,7 +269,7 @@ def session_counts(sf_dir: str):
         # mod 32 only permutes the low 5 bits, so stride-allocated ids
         # would all land in one part
         uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = splitmix64(uid) % np.uint64(32)
+        part = splitmix64(uid) % np.uint64(n_parts)
         return batch.append_column("part", pa.array(part.astype(np.int32)))
 
     def sessions(group: pa.Table) -> pa.Table:
@@ -268,7 +297,7 @@ def session_counts(sf_dir: str):
         )
 
     return (ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-            .repartition(16).groupby("part").map_groups(
+            .repartition(n_parts).groupby("part").map_groups(
                 sessions, batch_format="pyarrow")
             .select_columns(["user_id", "session_id", "n_events"]))
 
@@ -288,6 +317,7 @@ def range_join_events(sf_dir: str, left_type: str = "click",
     ts-sorted right rows (no quadratic scan). Output cardinality is the
     true join size — bounded by the window, not by group size."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    n_parts = _n_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
         from ..functions.fingerprint import splitmix64
@@ -295,7 +325,7 @@ def range_join_events(sf_dir: str, left_type: str = "click",
         t = batch.filter(pc.is_in(batch["event_type"],
                                   value_set=pa.array([left_type, right_type])))
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = splitmix64(uid) % np.uint64(32)
+        part = splitmix64(uid) % np.uint64(n_parts)
         return t.append_column("part", pa.array(part.astype(np.int32)))
 
     def rjoin(group: pa.Table) -> pa.Table:
@@ -306,7 +336,7 @@ def range_join_events(sf_dir: str, left_type: str = "click",
         eid = g["event_id"].to_numpy(zero_copy_only=False)
         is_l = np.asarray(g["event_type"].to_numpy(zero_copy_only=False)
                           == left_type)
-        la, lb = [], []
+        la_parts, lb_parts = [], []
         starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
         ends = np.r_[starts[1:], len(uid)]
         for s_, e_ in zip(starts, ends):
@@ -317,14 +347,24 @@ def range_join_events(sf_dir: str, left_type: str = "click",
             rts = ts[r_idx]
             lo = np.searchsorted(rts, ts[l_idx], side="right")       # strictly after
             hi = np.searchsorted(rts, ts[l_idx] + window_us, side="right")
-            for k in np.flatnonzero(hi > lo):
-                for r in r_idx[lo[k]:hi[k]]:
-                    la.append(int(eid[l_idx[k]]))
-                    lb.append(int(eid[r]))
+            # vectorized emission: each left row k pairs with the interval
+            # r_idx[lo[k]:hi[k]] — np.repeat the left ids by interval length
+            # and reconstruct the flat interval indices from offsets
+            counts = hi - lo
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            la_parts.append(np.repeat(eid[l_idx], counts))
+            off = np.cumsum(counts) - counts  # start of each interval in flat
+            flat = np.repeat(lo, counts) + (np.arange(total)
+                                            - np.repeat(off, counts))
+            lb_parts.append(eid[r_idx[flat]])
+        la = np.concatenate(la_parts) if la_parts else np.empty(0, np.int64)
+        lb = np.concatenate(lb_parts) if lb_parts else np.empty(0, np.int64)
         return pa.table(
             {
-                "left_event_id": pa.array(la, pa.int64()),
-                "right_event_id": pa.array(lb, pa.int64()),
+                "left_event_id": pa.array(la.astype(np.int64), pa.int64()),
+                "right_event_id": pa.array(lb.astype(np.int64), pa.int64()),
             }
         )
 
@@ -384,12 +424,14 @@ def asof_join_events(sf_dir: str, probe_type: str = "purchase",
     nulls.
 
     Partitioning assumption (documented per the custom-operator rule): both
-    sides co-partition by ``hash(user_id) % 32`` — one keyed exchange of the
-    two pruned event subsets; within a part the join is a per-user
-    numpy ``searchsorted`` over (ts, event_id)-sorted reference rows. Skew
-    = events per user; a pathological single hot user bounds one group.
+    sides co-partition by ``hash(user_id) % P`` (P sized to the cluster) —
+    one keyed exchange of the two pruned event subsets; within a part the
+    join is a per-user numpy ``searchsorted`` over (ts, event_id)-sorted
+    reference rows. Skew = events per user; a pathological single hot user
+    bounds one group.
     """
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    n_parts = _n_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
         from ..functions.fingerprint import splitmix64
@@ -397,7 +439,7 @@ def asof_join_events(sf_dir: str, probe_type: str = "purchase",
         t = batch.filter(pc.is_in(batch["event_type"],
                                   value_set=pa.array([probe_type, ref_type])))
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = splitmix64(uid) % np.uint64(32)
+        part = splitmix64(uid) % np.uint64(n_parts)
         return t.append_column("part", pa.array(part.astype(np.int32)))
 
     def asof(group: pa.Table) -> pa.Table:
@@ -408,7 +450,7 @@ def asof_join_events(sf_dir: str, probe_type: str = "purchase",
         eid = g["event_id"].to_numpy(zero_copy_only=False)
         is_ref = np.asarray(g["event_type"].to_numpy(zero_copy_only=False)
                             == ref_type)
-        out_pid, out_uid, out_ts, out_rid, out_rts = [], [], [], [], []
+        pid_parts, rid_parts, valid_parts = [], [], []
         starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
         ends = np.r_[starts[1:], len(uid)]
         for s_, e_ in zip(starts, ends):
@@ -420,24 +462,29 @@ def asof_join_events(sf_dir: str, probe_type: str = "purchase",
             # rows are (ts, event_id)-sorted, so searchsorted-right lands
             # after ALL refs with ts <= probe ts; -1 = the max-(ts, id) one
             pos = np.searchsorted(ts[r_idx], ts[p_idx], side="right") - 1
-            for k, p in enumerate(p_idx):
-                out_pid.append(int(eid[p]))
-                out_uid.append(int(uid[p]))
-                out_ts.append(int(ts[p]))
-                if pos[k] >= 0:
-                    r = r_idx[pos[k]]
-                    out_rid.append(int(eid[r]))
-                    out_rts.append(int(ts[r]))
-                else:
-                    out_rid.append(None)
-                    out_rts.append(None)
+            # vectorized emission: gather the matched ref row per probe
+            # (clamped for probes with no prior ref, masked to null below)
+            pid_parts.append(p_idx)
+            valid_parts.append(pos >= 0)
+            rid_parts.append(r_idx[np.maximum(pos, 0)] if len(r_idx)
+                             else np.zeros(len(p_idx), dtype=np.int64))
+        if pid_parts:
+            P = np.concatenate(pid_parts)
+            R = np.concatenate(rid_parts)
+            V = np.concatenate(valid_parts)
+        else:
+            P = R = np.empty(0, dtype=np.int64)
+            V = np.empty(0, dtype=bool)
+        null_mask = ~V
         return pa.table(
             {
-                "event_id": pa.array(out_pid, pa.int64()),
-                "user_id": pa.array(out_uid, pa.int64()),
-                "ts": pa.array(out_ts, pa.int64()).cast(pa.timestamp("us")),
-                "view_event_id": pa.array(out_rid, pa.int64()),
-                "view_ts": pa.array(out_rts, pa.int64()).cast(pa.timestamp("us")),
+                "event_id": pa.array(eid[P].astype(np.int64), pa.int64()),
+                "user_id": pa.array(uid[P].astype(np.int64), pa.int64()),
+                "ts": pa.array(ts[P], pa.int64()).cast(pa.timestamp("us")),
+                "view_event_id": pa.array(eid[R].astype(np.int64),
+                                          mask=null_mask),
+                "view_ts": pa.array(ts[R], mask=null_mask).cast(
+                    pa.timestamp("us")),
             }
         )
 
@@ -481,15 +528,15 @@ def tombstone_anti_join(sf_dir: str):
                    .select(["user_id"]),
         batch_format="pyarrow", zero_copy_batch=True,
     ).unique("user_id")
-    dead_ref = ray.put(frozenset(dead_rows))
+    # broadcast once as an Arrow array; pc.is_in is a C hash probe per batch
+    dead_ref = ray.put(pa.array(sorted(dead_rows), pa.int64()))
 
     class AntiJoin:
         def __init__(self, ref) -> None:  # noqa: ANN001
             self._dead = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            d = self._dead
-            keep = pa.array([u not in d for u in batch["user_id"].to_pylist()])
+            keep = pc.invert(pc.is_in(batch["user_id"], value_set=self._dead))
             return batch.select(["event_id", "user_id"]).filter(keep)
 
     return ev.map_batches(AntiJoin, fn_constructor_args=(dead_ref,),
@@ -598,7 +645,7 @@ class _TextAnalyzer:
 def text_analysis(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(_TextAnalyzer, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=2)
+                          zero_copy_batch=True, concurrency=_pool_size())
 
 
 # --------------------------------------------------------------------------
@@ -607,10 +654,12 @@ def text_analysis(sf_dir: str):
 
 class _ShingleBander:
     """Actor: doc → exploded (doc_id, band_key) MinHash-LSH rows; token-hash
-    cache shared across batches."""
+    cache shared across batches. ``n_parts`` keys the downstream exchange
+    (band % P) — results are P-invariant, P only sets group count."""
 
-    def __init__(self) -> None:
+    def __init__(self, n_parts: int = 32) -> None:
         self._cache: dict[str, int] = {}
+        self._n_parts = n_parts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.fingerprint import NUM_BANDS, fingerprint_text_many
@@ -624,7 +673,8 @@ class _ShingleBander:
         return pa.table(
             {"doc_id": pa.array(np.repeat(ids, NUM_BANDS), pa.int64()),
              "band_key": pa.array(band_arr),
-             "part": pa.array((band_arr % np.uint64(32)).astype(np.int32))}
+             "part": pa.array((band_arr % np.uint64(self._n_parts))
+                              .astype(np.int32))}
         )
 
 
@@ -659,7 +709,7 @@ def _candidate_pairs_ds(bands_ds, max_block: int = 256):  # noqa: ANN001
 
     # coalesce before the shuffle: sort-shuffle cost grows with block count²
     with fast_shuffle():
-        cands = bands_ds.repartition(16).groupby("part").map_groups(
+        cands = bands_ds.repartition(_n_parts()).groupby("part").map_groups(
             pairs_in_part, batch_format="pyarrow")
         cands = cands.materialize()
     return cands
@@ -700,8 +750,10 @@ def _verified_pairs(sf_dir: str, threshold: float):
     from ..stages.pair_join import attach_via_union, verify_pairs_distributed
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    bands = ds.map_batches(_ShingleBander, batch_format="pyarrow",
-                           zero_copy_batch=True, concurrency=2)
+    bands = ds.map_batches(_ShingleBander,
+                           fn_constructor_kwargs={"n_parts": _n_parts()},
+                           batch_format="pyarrow",
+                           zero_copy_batch=True, concurrency=_pool_size())
     cands = _candidate_pairs_ds(bands)
     if cands.count() == 0:
         import ray.data as rd
@@ -710,7 +762,8 @@ def _verified_pairs(sf_dir: str, threshold: float):
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
              "score": pa.array([], pa.float64()),
              "part": pa.array([], pa.int32())}))
-    attached = attach_via_union(cands, ds, "doc_id", "text", num_parts=32)
+    attached = attach_via_union(cands, ds, "doc_id", "text",
+                                num_parts=_n_parts())
     return verify_pairs_distributed(attached, _jaccard_factory(threshold))
 
 
@@ -764,8 +817,9 @@ class _SimhashBander:
 
     N_BANDS = 4
 
-    def __init__(self) -> None:
+    def __init__(self, n_parts: int = 32) -> None:
         self._cache: dict[str, int] = {}
+        self._n_parts = n_parts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.fingerprint import fingerprint_text_many
@@ -785,7 +839,8 @@ class _SimhashBander:
                 "doc_id": pa.array(np.repeat(ids, nb), pa.int64()),
                 "simhash": pa.array(np.repeat(sims, nb), pa.uint64()),
                 "band_key": pa.array(band_arr),
-                "part": pa.array((band_arr % np.uint64(32)).astype(np.int32)),
+                "part": pa.array((band_arr % np.uint64(self._n_parts))
+                                 .astype(np.int32)),
             }
         )
 
@@ -798,8 +853,10 @@ def simhash_dedup_clusters(sf_dir: str, max_hamming: int = 3,
     are scored in max_block shards — recall recovered via the other
     N_BANDS-1 bands, same skew rule as the flagship scorer."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    rows = ds.map_batches(_SimhashBander, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=2)
+    rows = ds.map_batches(_SimhashBander,
+                          fn_constructor_kwargs={"n_parts": _n_parts()},
+                          batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=_pool_size())
 
     def pairs_in_part(group: pa.Table) -> pa.Table:
         g = group.sort_by([("band_key", "ascending"), ("doc_id", "ascending")])
@@ -837,7 +894,7 @@ def simhash_dedup_clusters(sf_dir: str, max_hamming: int = 3,
     from . import fast_shuffle
 
     with fast_shuffle():
-        out = rows.repartition(16).groupby("part").map_groups(
+        out = rows.repartition(_n_parts()).groupby("part").map_groups(
             pairs_in_part, batch_format="pyarrow")
     for t in out.iter_batches(batch_size=65536, batch_format="pyarrow"):
         edges.update(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))

@@ -40,6 +40,7 @@ import json
 import os
 from dataclasses import asdict, dataclass, field
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -50,8 +51,8 @@ from ..stages.fingerprint_stage import FINGERPRINT_SCHEMA, FingerprintBatcher
 from ..stages.pair_join import (
     explode_needs,
     make_checkpoint_attacher,
+    make_pair_verifier,
     pair_part_of,
-    verify_pairs_distributed,
 )
 from ..stages.scoring_stage import dedup_edges
 from ..state.checkpoint import StageCheckpoint, config_hash
@@ -66,6 +67,11 @@ EDGES_SCHEMA = pa.schema(
 )
 
 
+# bump when any checkpointed stage's output schema changes (folded into
+# RepostConfig.hash -> old-format part files are recomputed, never misread)
+_CKPT_SCHEMA_V = 2
+
+
 @dataclass
 class RepostConfig:
     """≙ the reference's sub_settings tuple (/root/reference/config.py:9-19),
@@ -78,6 +84,11 @@ class RepostConfig:
     # B11 provenance tag for rows whose input lacks a `source` column
     # (≙ Location top/hot/new, database.py:754-759); delta runs tag "new"
     source_tag: str = "new"
+    # ≙ sub_settings[8] BOT_TEXT_IN_IMAGE (/root/reference/config.py:18):
+    # dual ImageText channel — image/gif posts also matched on extracted
+    # text (database.py:748-751, 631-647). Result-affecting, so it enters
+    # the checkpoint-invalidation hash (NOT in _TUNING_FIELDS).
+    text_in_image: bool = True
     batch_size: int = 512
     # blocks fed into each groupby shuffle: Ray's sort-shuffle cost grows
     # with the square of the block count, so inputs are coalesced; but too
@@ -99,6 +110,11 @@ class RepostConfig:
         d = asdict(self)
         for k in self._TUNING_FIELDS:
             d.pop(k, None)
+        # checkpoint SCHEMA version: a stage-output schema change (e.g. the
+        # chash64 column added to fingerprints) makes old part files
+        # unreadable by the new code, so it must invalidate checkpoints the
+        # same way a semantic config change does
+        d["_ckpt_schema_v"] = _CKPT_SCHEMA_V
         return config_hash(d)
 
 
@@ -133,72 +149,110 @@ def _d1_dedup(group: pa.Table) -> pa.Table:
     invariant can't drift."""
     g = group.sort_by([("url", "ascending"), ("warc_ts", "ascending"),
                        ("content_hash", "ascending")])
-    urls = g["url"].to_pylist()
-    keep = [i for i, u in enumerate(urls) if i == 0 or u != urls[i - 1]]
-    return g.take(pa.array(keep))
+    import numpy as np
+
+    # numpy adjacent-compare on the sorted column (house pattern, cf.
+    # scoring_stage run scans) — no per-row Python over the part
+    u = np.asarray(g["url"].to_numpy(zero_copy_only=False), dtype=object)
+    if len(u) == 0:
+        return g
+    keep = np.r_[True, u[1:] != u[:-1]]
+    return g.filter(pa.array(keep))
 
 
 def _checkpointed_stage(ds_builder, input_filter, ckpt: StageCheckpoint,
                         schema: pa.Schema, metrics: _Metrics,
-                        exchange: str = "sort"):  # noqa: ANN001
-    """Generic resume wrapper.
+                        exchange: str = "sort", group_fn=None):  # noqa: ANN001
+    """Generic resume wrapper — fused, write-through (VERDICT r2 #1).
 
     ``input_filter(done_parts)`` narrows the stage input to incomplete
-    partitions; ``ds_builder(filtered_input)`` computes the stage output
-    WITH a ``part`` column; output groups are written atomically per part.
-    Returns the stage output re-read from the checkpoint (all parts).
+    partitions; ``ds_builder(filtered_input)`` produces the pre-exchange
+    rows WITH a ``part`` column (or ``None`` to skip the stage);
+    ``group_fn`` is the stage's per-part compute (e.g. the edge scorer),
+    fused with the checkpoint write into ONE ``groupby("part")`` whose
+    group fn computes → transforms → writes the part file → RETURNS the
+    written rows. The stage output is that exchange's materialized blocks
+    unioned with a lazy re-read of previously-completed parts — per stage
+    this replaces {materialize → second groupby → driver take_all →
+    read-back job} with a single exchange + one materialize.
 
-    ``exchange="hash"`` builds + materializes the stage DAG under the
-    hash-shuffle strategy (the big exchanges); the small write-groupby that
-    follows always uses the default sort strategy, which tolerates the
-    0-row blocks a scorer legitimately emits for edge-less partitions
-    (Ray's hash shuffle does not — see pipelines.fast_shuffle).
-    """
+    ``exchange="hash"`` runs the whole fused DAG under the hash-shuffle
+    strategy (3× faster than sort on the big exchanges). Ray 2.49's hash
+    shuffle crashes on fully-empty inputs ("Invalid sort key column ... in
+    <empty schema>"), so that path falls back to one sort-strategy re-run —
+    parts written before the crash are simply re-written (atomic,
+    idempotent)."""
     import ray.data as rd
 
     from . import fast_shuffle
 
+    names = [f.name for f in schema]
     done = ckpt.completed_parts()
     metrics.add(ckpt.stage, "parts_resumed", len(done))
+    written = None
     if len(done) < ckpt.num_parts:
-        # materialize once: the emptiness check below and the groupby-write
-        # then share the computed blocks instead of re-running the builder
+        writer = ckpt.make_group_writer(schema, group_fn=group_fn)
+
+        def build():
+            src = ds_builder(input_filter(done))
+            if src is None:
+                return None
+            return src.groupby("part").map_groups(
+                writer, batch_format="pyarrow")
+
         if exchange == "hash":
-            with fast_shuffle():
-                out = ds_builder(input_filter(done))
-                out = out.materialize() if out is not None else None
+            try:
+                with fast_shuffle():
+                    written = build()
+                    written = (written.materialize()
+                               if written is not None else None)
+            except Exception:
+                metrics.add(ckpt.stage, "hash_shuffle_fallback", 1)
+                written = build()
+                written = written.materialize() if written is not None else None
         else:
-            out = ds_builder(input_filter(done))
-            out = out.materialize() if out is not None else None
-        writer = ckpt.make_group_writer(schema)
-        written: set[int] = set()
-        if out is not None and out.count() > 0:
-            written = set(
-                r["part"]
-                for r in out.groupby("part").map_groups(
-                    writer, batch_format="pyarrow").take_all()
-            )
-        empty_parts = [p for p in range(ckpt.num_parts) if p not in done and p not in written]
-        for p in empty_parts:
-            ckpt.write_part(p, schema.empty_table())
-    files = [ckpt.data_path(p) for p in sorted(ckpt.completed_parts())
-             if os.path.getsize(ckpt.data_path(p)) > 0]
-    nonempty = [f for f in files if pq.read_metadata(f).num_rows > 0]
-    if not nonempty:
+            written = build()
+            written = written.materialize() if written is not None else None
+        # parts that produced no group at all -> explicit empty part files
+        now_done = ckpt.completed_parts()
+        for p in range(ckpt.num_parts):
+            if p not in now_done:
+                ckpt.write_part(p, schema.empty_table())
+    # previously-done parts re-read lazily (pruned parquet scan); parts
+    # written THIS run stream from the exchange's materialized blocks
+    prev_files = [ckpt.data_path(p) for p in sorted(done)
+                  if os.path.getsize(ckpt.data_path(p)) > 0]
+    prev_files = [f for f in prev_files if pq.read_metadata(f).num_rows > 0]
+    parts = []
+    if prev_files:
+        parts.append(rd.read_parquet(prev_files).select_columns(names))
+    if written is not None and written.count() > 0:  # count: metadata, free
+        parts.append(written)
+    if not parts:
         return rd.from_arrow(schema.empty_table())
-    return rd.read_parquet(nonempty)
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.union(d)
+    return out
 
 
 def _drop_parts_filter(col: str, num_parts: int, done: set[int]):
     """Vectorized-enough pre-filter: skip rows whose stage partition is
     already checkpointed (the compute-skip half of resume)."""
 
+    import numpy as np
+
+    done_arr = np.array(sorted(done), dtype=np.int64)
+
     def f(batch: pa.Table) -> pa.Table:
         if not done:
             return batch
-        keep = [_part_of_key(str(v), num_parts) not in done
-                for v in batch[col].to_pylist()]
-        return batch.filter(pa.array(keep))
+        # the hash is inherently per-string (blake2b); the membership test
+        # is vectorized (np.isin against the small done-part set)
+        parts = np.fromiter(
+            (_part_of_key(str(v), num_parts) for v in batch[col].to_pylist()),
+            dtype=np.int64, count=batch.num_rows)
+        return batch.filter(pa.array(~np.isin(parts, done_arr)))
 
     return f
 
@@ -263,7 +317,8 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         return src.map_batches(
             FingerprintBatcher,
             fn_constructor_kwargs={"num_parts": cfg.num_parts,
-                                   "source_tag": cfg.source_tag},
+                                   "source_tag": cfg.source_tag,
+                                   "text_in_image": cfg.text_in_image},
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=cfg.batch_size,
@@ -274,13 +329,8 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     fp_schema = FINGERPRINT_SCHEMA
 
     class _FpCheckpoint(StageCheckpoint):
-        def make_group_writer(self, schema: pa.Schema):  # noqa: ANN001
-            base = super().make_group_writer(schema)
-
-            def write_group(group: pa.Table) -> pa.Table:
-                return base(_d1_dedup(group))
-
-            return write_group
+        def transform_group(self, table: pa.Table) -> pa.Table:
+            return _d1_dedup(table)
 
     fp_ckpt.__class__ = _fp_ckpt_cls or _FpCheckpoint
     fingerprints = _checkpointed_stage(fp_builder, fp_input_filter, fp_ckpt,
@@ -338,27 +388,28 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
             td.update(u.encode())
             td.update(b"\0")
         h = config_hash({"base": h, "tombstones_digest": td.hexdigest()})
-        dead_ref = ray.put(dead_set)
+        # broadcast the dead set ONCE as an Arrow array: pc.is_in runs a
+        # C-level hash probe per batch (no per-row Python)
+        dead_arr = pa.array(sorted(dead_set), pa.string())
+        dead_ref = ray.put(dead_arr)
 
         class _DropDead:
             def __init__(self, ref) -> None:  # noqa: ANN001
                 self._dead = ray.get(ref)
 
             def __call__(self, batch: pa.Table) -> pa.Table:
-                d = self._dead
-                return batch.filter(
-                    pa.array([u not in d for u in batch["url"].to_pylist()]))
+                return batch.filter(pc.invert(
+                    pc.is_in(batch["url"], value_set=self._dead)))
 
         fingerprints = fingerprints.map_batches(
             _DropDead, fn_constructor_args=(dead_ref,),
             batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
         if extra_edges is not None:  # history edges must not resurrect dead urls
             def _drop_dead_edges(t: pa.Table) -> pa.Table:
-                d = dead_set
-                return t.filter(pa.array(
-                    [a not in d and b not in d
-                     for a, b in zip(t["url_a"].to_pylist(),
-                                     t["url_b"].to_pylist())]))
+                alive = pc.and_(
+                    pc.invert(pc.is_in(t["url_a"], value_set=dead_arr)),
+                    pc.invert(pc.is_in(t["url_b"], value_set=dead_arr)))
+                return t.filter(alive)
 
             extra_edges = extra_edges.map_batches(
                 _drop_dead_edges, batch_format="pyarrow", zero_copy_batch=True)
@@ -386,8 +437,8 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
 
     # prune at the read: text_norm (the dominant column) never enters the
     # edge exchange — Ray pushes select_columns into the Parquet scan
-    _BLOCK_COLS = ["url", "modality", "content_hash", "simhash", "text_len",
-                   "payload_hash", "chunk_hashes", "band_keys"]
+    _BLOCK_COLS = ["url", "modality", "content_hash", "chash64", "simhash",
+                   "text_len", "payload_hash", "chunk_hashes", "band_keys"]
     if delta_mode:
         _BLOCK_COLS.append("is_new")
 
@@ -449,13 +500,16 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         )
 
     def ed_builder(rows):  # noqa: ANN001
-        # ONE exchange keyed by part (few, large groups); band-key runs are
-        # scanned inside each part — see make_part_scorer
-        return rows.repartition(cfg.shuffle_blocks).groupby("part").map_groups(
-            make_part_scorer(cfg.threshold, cfg.max_block), batch_format="pyarrow")
+        # rebalance only — the ONE exchange (groupby part, few large
+        # groups) happens inside _checkpointed_stage, fused with the
+        # scorer + checkpoint write; band-key runs are scanned inside each
+        # part — see make_part_scorer
+        return rows.repartition(cfg.shuffle_blocks)
 
-    edges_raw = _checkpointed_stage(ed_builder, ed_filter, ed_ckpt,
-                                    edges_schema, metrics, exchange="hash")
+    edges_raw = _checkpointed_stage(
+        ed_builder, ed_filter, ed_ckpt, edges_schema, metrics,
+        exchange="hash",
+        group_fn=make_part_scorer(cfg.threshold, cfg.max_block))
     ed_ckpt.write_lineage({})
     ed_totals = ed_ckpt.manifest_totals()
     metrics.add("edges_raw", "direct_edges", ed_totals.get("direct", 0))
@@ -490,12 +544,12 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     fp_ckpt_dirs = [fp_ckpt.dir] + list(extra_fingerprint_ckpts or [])
 
     def tv_builder(cands):  # noqa: ANN001
-        # no candidate anywhere -> skip the join DAG (manifest check, free;
-        # a 0-row groupby is safe under the sort strategy regardless).
+        # no candidate anywhere -> skip the join DAG entirely (manifest
+        # check, free; None = "this stage has no rows", parts seeded empty).
         # Manifests lacking the extras counters default to "might have
         # candidates" — never a false skip.
         if ed_totals["rows"] == 0 or ed_totals.get("tcand", 1) == 0:
-            return rd.from_arrow(edges_schema.empty_table())
+            return None
 
         # Global pair dedup FIRST, on the light (url_a, url_b) relation: a
         # near-dup pair surfaces in up to NUM_BANDS band runs, and those
@@ -512,12 +566,15 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
                              "pp": pa.array(pp, pa.int32())})
 
         def uniq(group: pa.Table) -> pa.Table:
+            import numpy as np
+
             g = group.sort_by([("url_a", "ascending"), ("url_b", "ascending")])
-            a = g["url_a"].to_pylist()
-            b = g["url_b"].to_pylist()
-            keep = [i for i in range(len(a))
-                    if i == 0 or a[i] != a[i - 1] or b[i] != b[i - 1]]
-            return g.take(pa.array(keep))  # keeps pp for the need explosion
+            a = np.asarray(g["url_a"].to_numpy(zero_copy_only=False), dtype=object)
+            b = np.asarray(g["url_b"].to_numpy(zero_copy_only=False), dtype=object)
+            if len(a) == 0:
+                return g
+            keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+            return g.filter(pa.array(keep))  # keeps pp for the need explosion
 
         unique_pairs = cands.map_batches(
             add_pp, batch_format="pyarrow", zero_copy_batch=True,
@@ -528,40 +585,42 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
                           pp_col="pp"),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        attached = needs.groupby("part").map_groups(
+        # attached rows carry part = pair_part: the verify exchange is the
+        # stage's own groupby — fused in _checkpointed_stage with the
+        # scorer + checkpoint write (tv_group_fn below)
+        return needs.groupby("part").map_groups(
             make_checkpoint_attacher(fp_ckpt_dirs), batch_format="pyarrow")
-        thresh = cfg.threshold
 
-        def text_score_factory():
-            # F1 predicate + exact quick_ratio prune, centralized with the
-            # rest of the reference scoring semantics
-            from ..functions.scoring import seq_score_or_none
+    thresh = cfg.threshold
 
-            def score(a, b, ta, tb):  # noqa: ANN001
-                return seq_score_or_none(ta, tb, thresh)
+    def text_score_factory():
+        # F1 predicate + exact quick_ratio prune, centralized with the
+        # rest of the reference scoring semantics
+        from ..functions.scoring import seq_score_or_none
 
-            return score
+        def score(a, b, ta, tb):  # noqa: ANN001
+            return seq_score_or_none(ta, tb, thresh)
 
-        verified = verify_pairs_distributed(attached, text_score_factory,
-                                            cfg.shuffle_blocks)
+        return score
 
-        def finish(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            return pa.table(
-                {
-                    "url_a": batch["a"],
-                    "url_b": batch["b"],
-                    "score": batch["score"],
-                    "kind": pa.array(["text"] * n, pa.string()),
-                    "part": batch["part"],
-                }
-            )
+    _tv_verify = make_pair_verifier(text_score_factory)
 
-        return verified.map_batches(finish, batch_format="pyarrow",
-                                    zero_copy_batch=True)
+    def tv_group_fn(group: pa.Table) -> pa.Table:
+        batch = _tv_verify(group)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "url_a": batch["a"],
+                "url_b": batch["b"],
+                "score": batch["score"],
+                "kind": pa.array(["text"] * n, pa.string()),
+                "part": batch["part"],
+            }
+        )
 
     text_edges = _checkpointed_stage(tv_builder, tv_filter, tv_ckpt,
-                                     edges_schema, metrics)
+                                     edges_schema, metrics,
+                                     group_fn=tv_group_fn)
     tv_ckpt.write_lineage({})
     # observability comes from checkpoint manifests — zero extra jobs
     tv_rows = tv_ckpt.manifest_totals()["rows"]
@@ -639,25 +698,24 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
             if _meta[cid][1] > 1
         )
         if top_ids:
-            ids_ref = ray.put(frozenset(top_ids))
+            ids_ref = ray.put(pa.array(sorted(top_ids), pa.string()))
 
             def top_members(t: pa.Table) -> pa.Table:
                 want = ray.get(ids_ref)
-                return t.filter(pa.array(
-                    [c in want for c in t["cluster_id"].to_pylist()]))
+                return t.filter(pc.is_in(t["cluster_id"], value_set=want))
 
             cl_small = clusters.map_batches(
                 top_members, batch_format="pyarrow").to_pandas()
             # edges pruned to top-cluster members BEFORE leaving the
             # cluster — the driver never materializes the full edge relation
-            member_ref = ray.put(frozenset(cl_small["url"]))
+            member_ref = ray.put(pa.array(sorted(set(cl_small["url"])),
+                                          pa.string()))
 
             def member_edges(t: pa.Table) -> pa.Table:
                 want = ray.get(member_ref)
-                return t.filter(pa.array(
-                    [a in want or b in want
-                     for a, b in zip(t["url_a"].to_pylist(),
-                                     t["url_b"].to_pylist())]))
+                return t.filter(pc.or_(
+                    pc.is_in(t["url_a"], value_set=want),
+                    pc.is_in(t["url_b"], value_set=want)))
 
             ed_small = edges.map_batches(
                 member_edges, batch_format="pyarrow").to_pandas()
@@ -680,6 +738,87 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         "clusters": clusters,
         "metrics": metrics,
     }
+
+
+# D6 provenance precedence (≙ the reference's Location upgrade when a
+# logged post reappears under a different scan, database.py:344-350; same
+# rank order as corpus_ops.source_reclassify): higher rank wins.
+_SOURCE_RANK = {"top": 3, "hot": 2, "new": 1}
+
+
+def _collect_source_upgrades(delta_pages_path, hist_ckpt_dir: str,  # noqa: ANN001
+                             cfg: RepostConfig) -> dict:
+    """url -> upgraded source, for delta urls ALREADY logged in history
+    whose rescan source outranks the logged one (D6 in the delta path:
+    the reference *updates Location* and otherwise ignores the repeat post,
+    database.py:336-358 — first-writer-wins on everything else).
+
+    Co-partitioned like the cross-run anti-join: delta (url, source) rows
+    group by the shared part key and compare against the matching history
+    checkpoint part FILE — zero history shuffle; output is delta-sized."""
+    import pandas as pd
+    import ray  # noqa: F401
+
+    from ..sources import read_pages
+
+    # same admission TTL as the pipeline: a page the run never admitted
+    # must not drive a provenance upgrade either. Pruned read: url +
+    # warc_ts (+ source when the input carries one) — html never leaves
+    # storage for this pass.
+    if hasattr(delta_pages_path, "map_batches"):  # pre-built Dataset
+        pages = read_pages(delta_pages_path, ttl_cutoff_us=cfg.ttl_cutoff_us)
+    else:
+        import pyarrow.dataset as pads
+
+        first = (delta_pages_path if isinstance(delta_pages_path, str)
+                 else delta_pages_path[0])
+        names = pads.dataset(first).schema.names
+        cols = ["url", "warc_ts"] + (["source"] if "source" in names else [])
+        pages = read_pages(delta_pages_path, columns=cols,
+                           ttl_cutoff_us=cfg.ttl_cutoff_us)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        urls = batch["url"]
+        src = (batch["source"] if "source" in batch.column_names
+               else pa.array([cfg.source_tag] * batch.num_rows, pa.string()))
+        part = np.fromiter(
+            (_part_of_key(u, cfg.num_parts) for u in urls.to_pylist()),
+            dtype=np.int32, count=batch.num_rows)
+        return pa.table({"url": urls, "source": src,
+                         "part": pa.array(part, pa.int32())})
+
+    def upgrades(group: pa.Table) -> pa.Table:
+        empty = pa.table({"url": pa.array([], pa.string()),
+                          "source": pa.array([], pa.string())})
+        part = group["part"][0].as_py()
+        path = os.path.join(hist_ckpt_dir, f"part={part}.parquet")
+        if not os.path.exists(path):
+            return empty
+        hist = pq.read_table(path, columns=["url", "source"])
+        if hist.num_rows == 0:
+            return empty
+        d = pd.DataFrame({"url": group["url"].to_pylist(),
+                          "rank": [_SOURCE_RANK.get(s, 0)
+                                   for s in group["source"].to_pylist()],
+                          "source": group["source"].to_pylist()})
+        # a url rescanned several times in one delta: highest rank wins
+        # (deterministic — rank uniquely identifies the source string)
+        d = d.sort_values(["url", "rank"]).drop_duplicates("url", keep="last")
+        h = pd.DataFrame({"url": hist["url"].to_pylist(),
+                          "hrank": [_SOURCE_RANK.get(s, 0)
+                                    for s in hist["source"].to_pylist()]})
+        m = d.merge(h, on="url")
+        m = m[m["rank"] > m["hrank"]]
+        return pa.table({"url": pa.array(m["url"].to_numpy(), pa.string()),
+                         "source": pa.array(m["source"].to_numpy(), pa.string())})
+
+    out: dict = {}
+    ds = pages.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    for b in ds.groupby("part").map_groups(
+            upgrades, batch_format="pyarrow").iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        out.update(zip(b["url"].to_pylist(), b["source"].to_pylist()))
+    return out
 
 
 def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # noqa: ANN001
@@ -761,31 +900,28 @@ def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # no
         path = os.path.join(hist_ckpt_dir, f"part={part}.parquet")
         if not os.path.exists(path):
             return group
-        logged = set(pq.read_table(path, columns=["url"])["url"].to_pylist())
-        if not logged:
+        logged = pq.read_table(path, columns=["url"])["url"].combine_chunks()
+        if len(logged) == 0:
             return group
-        return group.filter(
-            pa.array([u not in logged for u in group["url"].to_pylist()]))
+        return group.filter(pc.invert(pc.is_in(group["url"], value_set=logged)))
 
     # run the normal pipeline over the delta pages only; the union +
     # text-join plumbing receives history via the two extra_* hooks
     class _DeltaFilterCheckpoint(StageCheckpoint):
-        """Delta fingerprint checkpoint whose per-part writer drops urls
-        already logged in history (exactly-once per url across runs)."""
+        """Delta fingerprint checkpoint whose per-part transform drops urls
+        already logged in history (exactly-once per url across runs). May
+        empty a part entirely — the writer reads the part id from the
+        pre-transform group, so an all-logged part commits as an explicit
+        empty part file."""
 
-        def make_group_writer(self, schema: pa.Schema):  # noqa: ANN001
-            base = super().make_group_writer(schema)
-
-            def write_group(g: pa.Table) -> pa.Table:
-                return base(drop_logged(_d1_dedup(g)))
-
-            return write_group
+        def transform_group(self, g: pa.Table) -> pa.Table:
+            return drop_logged(_d1_dedup(g))
 
     hist_edges_dir = os.path.join(history_out_dir, "edges")
     hist_edges = (rd.read_parquet(hist_edges_dir)
                   if os.path.isdir(hist_edges_dir) else None)
 
-    return run_repost_pipeline(
+    res = run_repost_pipeline(
         delta_pages_path, out_dir, cfg, write_outputs=write_outputs,
         extra_fingerprints=history,
         extra_fingerprint_ckpts=[hist_ckpt_dir],
@@ -793,3 +929,44 @@ def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # no
         tombstones=tombstones,
         _fp_ckpt_cls=_DeltaFilterCheckpoint,
     )
+
+    # D6 in the delta path: a logged url rescanned under a higher-precedence
+    # source gets its provenance UPGRADED in this run's fingerprint view
+    # (reference update_database on Location, database.py:344-350);
+    # everything else stays first-writer (the delta row itself was dropped
+    # by drop_logged above). Upgrades are delta-sized -> broadcast once.
+    upgrades = _collect_source_upgrades(delta_pages_path, hist_ckpt_dir, cfg)
+    res["metrics"].add("source_upgrades", "urls", len(upgrades))
+    if write_outputs:  # refresh the metrics sink with the upgrade counter
+        pq.write_table(res["metrics"].table(),
+                       os.path.join(out_dir, "metrics.parquet"))
+    if upgrades:
+        import ray
+
+        up_tbl = pa.table({
+            "url": pa.array(sorted(upgrades), pa.string()),
+            "source": pa.array([upgrades[u] for u in sorted(upgrades)],
+                               pa.string()),
+        })
+        if write_outputs:  # A6 update-sink record
+            pq.write_table(up_tbl, os.path.join(out_dir, "source_upgrades.parquet"))
+        up_ref = ray.put(dict(upgrades))
+
+        def apply_upgrade(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            m = ray.get(up_ref)
+            urls = pd.Series(batch["url"].to_pylist(), dtype=object)
+            new_src = urls.map(m)
+            has = new_src.notna()
+            if not has.any():
+                return batch
+            src = pd.Series(batch["source"].to_pylist(), dtype=object)
+            src[has.to_numpy()] = new_src[has.to_numpy()]
+            return batch.set_column(
+                batch.schema.get_field_index("source"), "source",
+                pa.array(src.to_numpy(), pa.string()))
+
+        res["fingerprints"] = res["fingerprints"].map_batches(
+            apply_upgrade, batch_format="pyarrow", zero_copy_batch=True)
+    return res

@@ -257,9 +257,15 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
 
         # exact rows — every doc; key folds the hash's first 16 hex chars
         # (equality re-checked inside the group, so a collision only costs a
-        # wasted compare)
-        chl = batch["content_hash"].to_pylist()
-        ch64_all = np.array([int(c[:16], 16) for c in chl], dtype=np.uint64)
+        # wasted compare). The fold is stored in the fingerprint schema at
+        # fingerprint time (computed once per doc EVER); the hex re-parse
+        # below only covers pre-chash64 relations (generic callers).
+        if "chash64" in batch.column_names:
+            ch64_all = (batch["chash64"].to_numpy(zero_copy_only=False)
+                        .astype(np.uint64))
+        else:
+            chl = batch["content_hash"].to_pylist()
+            ch64_all = np.array([int(c[:16], 16) for c in chl], dtype=np.uint64)
         e_band = salted_vec("e", ch64_all)
         out.append(_subtable(batch["url"], "e", e_band, ch=batch["content_hash"],
                              ch64=ch64_all, new=isnew_all))
@@ -282,6 +288,17 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
             # row per batch) and cannot change edges: the global-min url is
             # also the min within its own batch, so the scorer still picks
             # the same representative.
+            # Collision stance (same as the scorer's per-run rep dedup,
+            # scoring_stage.py ~:405): a 64-bit fold collision between two
+            # genuinely DIFFERENT documents collapses them to one text-band
+            # representative — here for the whole batch, there per band run.
+            # Either way the collision can only DROP a would-be candidate
+            # pair (p ≈ 2⁻⁶⁴ per pair), never emit a wrong edge: every edge
+            # is re-verified downstream (exact hash equality in-group for
+            # "e", SequenceMatcher text verify for "t"). A combiner-level
+            # tie-break on the full content_hash would not help because "t"
+            # block rows carry only the fold — the scorer would re-collapse
+            # by chash64 anyway.
             import pandas as pd
 
             if len(np.unique(ch64_t)) < len(ch64_t):

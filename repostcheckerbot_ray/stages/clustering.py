@@ -33,12 +33,17 @@ _REF_CACHE: dict = {}
 def _cached_get(ref):  # noqa: ANN001
     import ray
 
-    if ref in _REF_CACHE:
-        return _REF_CACHE[ref]
+    # keyed by ref.hex(), NOT the ObjectRef itself: a cached ObjectRef would
+    # pin the plasma object alive in every warm worker after the driver
+    # drops it; the hex key lets the store release the bytes while the
+    # worker keeps its own deserialized copy
+    key = ref.hex()
+    if key in _REF_CACHE:
+        return _REF_CACHE[key]
     if len(_REF_CACHE) >= 4:  # at most comp+meta of the current run linger
         _REF_CACHE.clear()
     val = ray.get(ref)
-    _REF_CACHE[ref] = val
+    _REF_CACHE[key] = val
     return val
 
 
@@ -53,12 +58,45 @@ CLUSTERS_SCHEMA = pa.schema(
 )
 
 
+def _distributed_cc_threshold() -> int:
+    """Edge count above which the closure COMPUTE moves off the driver
+    (min-label propagation over keyed exchanges). Override with
+    RCB_DISTRIBUTED_CC_EDGES. Note the converged url→label map is still
+    streamed back into the broadcast dict the assigner uses — the
+    threshold protects the driver from the O(E·α) union work and the
+    edge-sized working set during closure; at the (later) scale where even
+    the LABEL MAP outgrows one node, the assigner itself must become a
+    keyed join (documented in SCALE.md), not a broadcast."""
+    import os
+
+    return int(os.environ.get("RCB_DISTRIBUTED_CC_EDGES", "5000000"))
+
+
+def _labels_to_comp(labels_ds) -> dict:  # noqa: ANN001
+    """Converged label relation -> {url: cluster_id}, dropping self-labeled
+    singletons (the assigner defaults those to their own url anyway)."""
+    comp: dict = {}
+    for b in labels_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for u, c in zip(b["url"].to_pylist(), b["cluster_id"].to_pylist()):
+            if u != c:
+                comp[u] = c
+            else:
+                comp.setdefault(u, c)
+    return comp
+
+
 def collect_components(edges_ds) -> dict:  # noqa: ANN001
     """Stream edge batches to the driver, union-find, return url->cluster_id.
     Edges ≪ corpus by construction; streamed, never materialized as a
     Dataset copy. Accepts a local directory of edge parquet instead of a
     Dataset — the same edge bytes reach the driver either way, but a direct
-    column-pruned read skips a whole Ray job's overhead."""
+    column-pruned read skips a whole Ray job's overhead.
+
+    Auto-scale switch: when the edge count (parquet metadata — free) exceeds
+    ``_distributed_cc_threshold()``, the closure runs DISTRIBUTED via
+    ``label_propagation_components`` instead of driver union-find — same
+    output contract, pinned equal at the switch point by
+    tests/test_scale_paths.py."""
     pairs = []
     if isinstance(edges_ds, str):
         import glob
@@ -66,7 +104,17 @@ def collect_components(edges_ds) -> dict:  # noqa: ANN001
 
         import pyarrow.parquet as _pq
 
-        for f in sorted(glob.glob(os.path.join(edges_ds, "*.parquet"))):
+        files = sorted(glob.glob(os.path.join(edges_ds, "*.parquet")))
+        n_edges = sum(_pq.read_metadata(f).num_rows for f in files)
+        if n_edges > _distributed_cc_threshold():
+            import ray.data as rd
+
+            from ..state.union_find import label_propagation_components
+
+            labels = label_propagation_components(
+                rd.read_parquet(files, columns=["url_a", "url_b"]))
+            return _labels_to_comp(labels)
+        for f in files:
             t = _pq.read_table(f, columns=["url_a", "url_b"])
             pairs.extend(zip(t["url_a"].to_pylist(), t["url_b"].to_pylist()))
         return components_from_edges(pairs)
@@ -74,6 +122,15 @@ def collect_components(edges_ds) -> dict:  # noqa: ANN001
         batch_size=65536, batch_format="pyarrow"
     ):
         pairs.extend(zip(batch["url_a"].to_pylist(), batch["url_b"].to_pylist()))
+        if len(pairs) > _distributed_cc_threshold():
+            # edge relation larger than the driver contract allows — restart
+            # the closure on the distributed path (labels flow back, the
+            # O(E) pair list is dropped immediately)
+            from ..state.union_find import label_propagation_components
+
+            pairs = None
+            return _labels_to_comp(
+                label_propagation_components(edges_ds))
     return components_from_edges(pairs)
 
 

@@ -59,6 +59,9 @@ FINGERPRINT_SCHEMA = pa.schema(
         ("text_len", pa.uint32()),
         ("n_tokens", pa.uint32()),
         ("content_hash", pa.string()),  # hex sha256 — the exact-match key (D2)
+        # 64-bit fold of content_hash (first 16 hex chars), computed ONCE at
+        # fingerprint time so the per-run edge explode never re-parses hex
+        ("chash64", pa.uint64()),
         ("simhash", pa.uint64()),
         ("band_keys", pa.list_(pa.uint64())),  # NUM_BANDS MinHash-LSH keys ("text" only)
         ("payload_hash", pa.uint64()),
@@ -81,7 +84,8 @@ def _is_img_url(url: str) -> bool:
 class FingerprintBatcher:
     """Warmed actor: HTML parser + token-hash cache built once per actor."""
 
-    def __init__(self, num_parts: int = 16, source_tag: str = "new") -> None:
+    def __init__(self, num_parts: int = 16, source_tag: str = "new",
+                 text_in_image: bool = True) -> None:
         from ..pipelines import _pin_arrow_threads
 
         _pin_arrow_threads()
@@ -89,6 +93,10 @@ class FingerprintBatcher:
         self._tok_cache: dict[str, int] = {}
         self._num_parts = num_parts
         self._source_tag = source_tag
+        # ≙ sub_settings[8] BOT_TEXT_IN_IMAGE (/root/reference/config.py:18):
+        # when False, image/gif posts are matched on payload hashes ONLY —
+        # their extracted text never enters the text band/simhash channel
+        self._text_in_image = text_in_image
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -107,6 +115,7 @@ class FingerprintBatcher:
         text_len = np.zeros(n, dtype=np.uint32)
         n_tokens = np.zeros(n, dtype=np.uint32)
         content_hash = [""] * n
+        ch64 = np.zeros(n, dtype=np.uint64)
         simhash = np.zeros(n, dtype=np.uint64)
         payload_hash = np.zeros(n, dtype=np.uint64)
         chashes: list[list[int]] = [[] for _ in range(n)]
@@ -159,7 +168,11 @@ class FingerprintBatcher:
                     ("url:" + normalize_url(url)).encode("utf-8")
                 ).hexdigest()
 
-            if tn and mod in ("text", "payload", "chunked"):
+            ch64[i] = int(content_hash[i][:16], 16)
+
+            if tn and (mod == "text"
+                       or (self._text_in_image
+                           and mod in ("payload", "chunked"))):
                 text_rows.append(i)
                 token_lists.append(tokenize(raw))
 
@@ -189,6 +202,7 @@ class FingerprintBatcher:
                 "text_len": pa.array(text_len),
                 "n_tokens": pa.array(n_tokens),
                 "content_hash": pa.array(content_hash, pa.string()),
+                "chash64": pa.array(ch64),
                 "simhash": pa.array(simhash),
                 "band_keys": band_col,
                 "payload_hash": pa.array(payload_hash),

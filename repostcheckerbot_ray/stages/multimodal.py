@@ -98,10 +98,15 @@ class MediaFeatureExtractor:
         )
 
 
-def media_features(pages_ds, *, batch_size: int = 64, concurrency: int = 2,
+def media_features(pages_ds, *, batch_size: int = 64, concurrency=None,
                    decode: str = "stub"):  # noqa: ANN001
     """pages (url, html binary) → media feature table. Small batch_size on
-    purpose: payload bytes × batch × concurrency must fit worker heap."""
+    purpose: payload bytes × batch × concurrency must fit worker heap;
+    concurrency defaults to the cluster-sized pool (autoscaling floor 1)."""
+    if concurrency is None:
+        from ..pipelines.corpus_ops import _pool_size
+
+        concurrency = _pool_size()
     return pages_ds.map_batches(
         MediaFeatureExtractor,
         fn_constructor_kwargs={"decode": decode},

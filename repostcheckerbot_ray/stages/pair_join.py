@@ -261,7 +261,7 @@ def make_pair_verifier(score_factory):  # noqa: ANN001
     return verify
 
 
-def verify_pairs_distributed(attached_ds, score_factory, shuffle_blocks: int = 16):  # noqa: ANN001
+def verify_pairs_distributed(attached_ds, score_factory):  # noqa: ANN001
     """Exchange B: groupby(pair_part) over attached rows -> scored pairs."""
     return attached_ds.groupby("part").map_groups(
         make_pair_verifier(score_factory), batch_format="pyarrow")

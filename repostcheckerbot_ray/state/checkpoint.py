@@ -86,24 +86,38 @@ class StageCheckpoint:
         os.replace(mtmp, self._manifest_path(part))
         return rec
 
-    def make_group_writer(self, schema: pa.Schema):
-        """A map_groups callable: writes each part-group atomically inside
-        the cluster (parallel, not driver-side) and returns a manifest row."""
+    def transform_group(self, table: pa.Table) -> pa.Table:
+        """Hook: per-part transform applied between the stage's group fn and
+        the part write (e.g. the fingerprint stage's D1 url dedup). May
+        legitimately return 0 rows — the part file is then an explicit
+        empty (still a completed part)."""
+        return table
+
+    def make_group_writer(self, schema: pa.Schema, group_fn=None):  # noqa: ANN001
+        """A map_groups callable — the WRITE-THROUGH checkpoint point.
+
+        Extracts the part id from the INPUT group (before any transform:
+        ``group_fn``/``transform_group`` may legitimately empty a part),
+        applies ``group_fn`` (the stage's per-part compute, optional) then
+        :meth:`transform_group`, writes the part file atomically inside the
+        cluster, and returns the WRITTEN ROWS. The stage output therefore
+        streams straight out of the same exchange that wrote the
+        checkpoint — no driver take_all, no re-read of just-written files,
+        no second groupby (VERDICT r2 #1: one exchange + one barrier per
+        stage instead of three)."""
         ckpt = self
+        names = [f.name for f in schema]
 
         def write_group(group: pa.Table) -> pa.Table:
             from ..pipelines import _pin_arrow_threads
 
             _pin_arrow_threads()
-            part = group["part"][0].as_py()
-            rec = ckpt.write_part(int(part), group.select([f.name for f in schema]))
-            return pa.table(
-                {
-                    "stage": pa.array([rec["stage"]]),
-                    "part": pa.array([rec["part"]], pa.int32()),
-                    "rows": pa.array([rec["rows"]], pa.int64()),
-                }
-            )
+            part = int(group["part"][0].as_py())
+            out = group_fn(group) if group_fn is not None else group
+            out = ckpt.transform_group(out)
+            sel = out.select(names)
+            ckpt.write_part(part, sel)
+            return sel
 
         return write_group
 

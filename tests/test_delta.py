@@ -149,3 +149,57 @@ def test_delta_combiner_with_new_exact_copy_of_history_content(ray_session, tmp_
         pd.testing.assert_frame_equal(got, want)
         # all three pages in ONE cluster
         assert want["cluster_id"].nunique() == 1
+
+
+def test_delta_source_upgrade(ray_session, tmp_path):
+    """D6 in the delta path (reference database.py:344-350): a delta url
+    ALREADY logged in history, rescanned under a higher-precedence source,
+    gets its provenance upgraded in the delta run's fingerprint view —
+    while warc_ts/content stay first-writer (the repeat post itself is
+    still dropped). Lower/equal-precedence rescans change nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def pages(rows):
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "html": pa.array([b"" for _ in rows], pa.binary()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+
+    hist = tmp_path / "hist"; delta = tmp_path / "delta"
+    hist.mkdir(); delta.mkdir()
+    texts = {u: f"doc {u} " + " ".join(f"w{u}{i}" for i in range(30))
+             for u in "abcd"}
+    h_rows = [("http://a", 1_000_000, texts["a"], "new"),
+              ("http://b", 2_000_000, texts["b"], "hot"),
+              ("http://c", 3_000_000, texts["c"], "top")]
+    d_rows = [("http://a", 9_000_000, texts["a"], "top"),   # upgrade new->top
+              ("http://b", 9_000_000, texts["b"], "new"),   # downgrade: no-op
+              ("http://c", 9_000_000, texts["c"], "top"),   # equal: no-op
+              ("http://d", 9_000_000, texts["d"], "hot")]   # genuinely new
+    pq.write_table(pages(h_rows), hist / "p0.parquet")
+    pq.write_table(pages(d_rows), delta / "p0.parquet")
+
+    cfg = RepostConfig(num_parts=4)
+    run_repost_pipeline(str(hist), str(tmp_path / "out_hist"), cfg)
+    res = run_repost_delta(str(tmp_path / "out_hist"), str(delta),
+                           str(tmp_path / "out_delta"), cfg)
+
+    fp = res["fingerprints"].to_pandas().set_index("url")
+    assert fp.loc["http://a", "source"] == "top"      # upgraded
+    assert fp.loc["http://b", "source"] == "hot"      # not downgraded
+    assert fp.loc["http://c", "source"] == "top"      # unchanged
+    assert fp.loc["http://d", "source"] == "hot"      # delta's own row
+    # first-writer-wins on everything else: history ts kept for a/b/c
+    assert int(fp.loc["http://a", "warc_ts"].value) // 1000 == 1_000_000
+    # A6 update-sink record
+    up = pq.read_table(
+        str(tmp_path / "out_delta" / "source_upgrades.parquet")).to_pandas()
+    assert list(up["url"]) == ["http://a"]
+    assert list(up["source"]) == ["top"]

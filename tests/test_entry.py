@@ -15,6 +15,12 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = "/root/testdata/sf0.001"
+# data-dependent oracles (simhash VALUES CTE) must be generated from the
+# SAME sf this suite compares at; the driver leaves this unset and gets
+# the sf0.01 default it compares at
+import os  # noqa: E402
+
+os.environ["GRAFT_ORACLE_SF_DIR"] = SF_DIR
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 

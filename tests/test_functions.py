@@ -302,3 +302,44 @@ def test_fingerprint_text_many_property_random_docs():
                 bk[i], fp.band_keys(fp.minhash_signature(sh)))
 
     check()
+
+
+def test_text_in_image_flag():
+    """sub_settings[8] BOT_TEXT_IN_IMAGE (/root/reference/config.py:18):
+    with the flag ON (engine default) an image post with extractable text
+    joins the text band/simhash channel; with it OFF the post is matched on
+    payload hashes only. Result-affecting -> must flip the config hash."""
+    import pyarrow as pa
+
+    from repostcheckerbot_ray.pipelines.repost import RepostConfig
+    from repostcheckerbot_ray.stages.fingerprint_stage import FingerprintBatcher
+
+    batch = pa.table(
+        {
+            "url": pa.array(["http://img.example/x.png"], pa.string()),
+            "warc_ts": pa.array([1_000_000], pa.timestamp("us")),
+            "html": pa.array(
+                [b"<html><body>embedded caption words here for ocr "
+                 b"matching channel</body></html>"], pa.binary()),
+            "text": pa.array([""], pa.string()),  # invalid -> payload path
+            "lang": pa.array(["en"], pa.string()),
+        }
+    )
+    on = FingerprintBatcher(num_parts=4, text_in_image=True)(batch)
+    off = FingerprintBatcher(num_parts=4, text_in_image=False)(batch)
+    assert on["modality"][0].as_py() == "payload"
+    assert off["modality"][0].as_py() == "payload"
+    # payload channel identical either way
+    assert on["payload_hash"][0].as_py() == off["payload_hash"][0].as_py()
+    assert on["content_hash"][0].as_py() == off["content_hash"][0].as_py()
+    # text channel only with the flag on
+    assert len(on["band_keys"][0].as_py()) > 0
+    assert on["n_tokens"][0].as_py() > 0
+    assert off["band_keys"][0].as_py() == []
+    assert off["n_tokens"][0].as_py() == 0
+    assert off["simhash"][0].as_py() == 0
+    # text_norm (the byte-identity invariant) is flag-independent
+    assert on["text_norm"][0].as_py() == off["text_norm"][0].as_py() != ""
+    # checkpoint invalidation: the flag is in the config hash
+    assert (RepostConfig(text_in_image=True).hash()
+            != RepostConfig(text_in_image=False).hash())

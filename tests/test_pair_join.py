@@ -39,7 +39,7 @@ def test_attach_via_union_and_verify(ray_session):
     }))
     attached = attach_via_union(pairs, texts, "doc_id", "text", num_parts=4)
     out = verify_pairs_distributed(
-        attached, _score_eq_factory(), shuffle_blocks=4).to_pandas()
+        attached, _score_eq_factory()).to_pandas()
     got = sorted(zip(out["a"], out["b"], out["score"]))
     assert got == [(1, 2, 100.0), (3, 5, 100.0)]  # (1,4) texts differ
 
@@ -62,7 +62,7 @@ def test_attach_drops_pairs_with_missing_text(ray_session):
     }))
     attached = attach_via_union(pairs, texts, "doc_id", "text", num_parts=4)
     out = verify_pairs_distributed(
-        attached, _score_eq_factory(), shuffle_blocks=4).to_pandas()
+        attached, _score_eq_factory()).to_pandas()
     assert len(out) == 0
 
 
@@ -100,6 +100,6 @@ def test_checkpoint_attacher_reads_part_files(ray_session, tmp_path):
     attached = needs.groupby("part").map_groups(
         make_checkpoint_attacher(str(tmp_path)), batch_format="pyarrow")
     out = verify_pairs_distributed(
-        attached, _score_eq_factory(), shuffle_blocks=4).to_pandas()
+        attached, _score_eq_factory()).to_pandas()
     # u0/u1 share text "t-0"; u2/u3 differ
     assert sorted(zip(out["a"], out["b"])) == [("u0", "u1")]

@@ -151,7 +151,8 @@ def test_cached_get_deserializes_once_per_ref(ray_session):
     r2 = ray.put({"b": 2})
     assert clustering._cached_get(r1) == {"a": 1}
     v1 = clustering._cached_get(r1)
-    assert v1 is clustering._REF_CACHE[r1]  # cache hit, same object
+    # keyed by ref.hex() so warm workers never pin the plasma object
+    assert v1 is clustering._REF_CACHE[r1.hex()]  # cache hit, same object
     assert clustering._cached_get(r2) == {"b": 2}
     assert len(clustering._REF_CACHE) == 2
     for i in range(3):
@@ -159,3 +160,42 @@ def test_cached_get_deserializes_once_per_ref(ray_session):
     # capacity bound respected (cleared once at >=4, then refilled)
     assert len(clustering._REF_CACHE) <= 4
     clustering._REF_CACHE.clear()
+
+
+def test_collect_components_auto_switch(ray_session, tmp_path, monkeypatch):
+    """Auto-scale switch (VERDICT r2 #8): above the edge-count threshold,
+    collect_components selects the distributed label-propagation path —
+    pinned EQUAL to driver union-find at the switch point, for both the
+    edges-directory and the Dataset input forms."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from repostcheckerbot_ray.stages.clustering import collect_components
+    from repostcheckerbot_ray.state.union_find import components_from_edges
+
+    edges = [("a", "b"), ("b", "c"), ("d", "e"), ("x", "y"), ("y", "z"),
+             ("c", "x"), ("p", "q")]
+    tbl = pa.table({"url_a": pa.array([e[0] for e in edges]),
+                    "url_b": pa.array([e[1] for e in edges])})
+    want = components_from_edges(edges)
+
+    d = tmp_path / "edges"
+    d.mkdir()
+    pq.write_table(tbl, d / "part-0.parquet")
+
+    def non_self(comp):
+        return {k: v for k, v in comp.items() if k != v or want.get(k) != k}
+
+    # below threshold: driver union-find
+    monkeypatch.setenv("RCB_DISTRIBUTED_CC_EDGES", "1000000")
+    assert collect_components(str(d)) == want
+
+    # above threshold: distributed label propagation, same contract
+    monkeypatch.setenv("RCB_DISTRIBUTED_CC_EDGES", "3")
+    got_dir = collect_components(str(d))
+    got_ds = collect_components(rd.from_arrow(tbl))
+    for got in (got_dir, got_ds):
+        # every edge-touched url maps identically (self-labels allowed
+        # either way: the assigner treats absent and self the same)
+        for k, v in want.items():
+            assert got.get(k, k) == v
