@@ -645,10 +645,8 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         metrics.add("edge_dedup", "history_edges", n_extra_edges)
     # emptiness from manifests (free) — dedup runs under the sort strategy,
     # which tolerates 0-row inputs, but skipping the DAG is cheaper still
-    if ed_totals.get("direct", ed_totals["rows"]) + tv_rows + n_extra_edges == 0:
-        edges = rd.from_arrow(EDGES_SCHEMA.empty_table())
-    else:
-        edges = dedup_edges(all_edges)  # edge-sized; no coalesce pass needed
+    n_total_edges = (ed_totals.get("direct", ed_totals["rows"]) + tv_rows
+                     + n_extra_edges)
 
     # --- Stage 4: clusters (E4) ---------------------------------------------
     import ray.data as rd
@@ -657,24 +655,38 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     if write_outputs:
         import shutil
 
-        # write once, hand back the on-disk dataset — consumers re-read
-        # Parquet instead of re-running the dedup/assign DAG. Final output
-        # dirs are replaced wholesale (write_parquet appends otherwise);
-        # an all-empty dataset writes NO files, so seed an explicit empty
+        # materialize once, write from the same blocks, hand the
+        # materialized dataset back — consumers never re-run the DAG and
+        # never re-decode the just-written parquet. Output dirs are
+        # replaced wholesale (write_parquet appends otherwise); an
+        # all-empty dataset writes NO files, so seed an explicit empty
         # part to keep the read-back contract.
-        def _write_dir(ds, path, schema):  # noqa: ANN001
-            shutil.rmtree(path, ignore_errors=True)
-            ds.write_parquet(path)
+        def _seed_if_empty(path, schema):  # noqa: ANN001
             has_files = os.path.isdir(path) and any(
                 f.endswith(".parquet") for f in os.listdir(path))
             if not has_files:
                 os.makedirs(path, exist_ok=True)
                 pq.write_table(schema.empty_table(),
                                os.path.join(path, "part-empty.parquet"))
-            return rd.read_parquet(path)
 
+        def _write_dir(ds, path, schema):  # noqa: ANN001
+            shutil.rmtree(path, ignore_errors=True)
+            m = ds.materialize()
+            m.write_parquet(path)
+            _seed_if_empty(path, schema)
+            return m
+
+        # edge dedup is write-through (dedup_edges(out_dir=...)): the D4
+        # exchange's own group fn writes the edge sink — no separate write
+        # job, no read-back
         edges_dir = os.path.join(out_dir, "edges")
-        edges = _write_dir(edges, edges_dir, EDGES_SCHEMA)
+        shutil.rmtree(edges_dir, ignore_errors=True)
+        os.makedirs(edges_dir, exist_ok=True)
+        if n_total_edges == 0:
+            edges = rd.from_arrow(EDGES_SCHEMA.empty_table())
+        else:
+            edges = dedup_edges(all_edges, out_dir=edges_dir).materialize()
+        _seed_if_empty(edges_dir, EDGES_SCHEMA)
         _mark("edges_write")
         from ..stages.clustering import assign_clusters_with_meta
 
@@ -730,6 +742,10 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         _mark("report")
         pq.write_table(metrics.table(), os.path.join(out_dir, "metrics.parquet"))
     else:
+        if n_total_edges == 0:
+            edges = rd.from_arrow(EDGES_SCHEMA.empty_table())
+        else:
+            edges = dedup_edges(all_edges)  # edge-sized; no coalesce pass
         clusters = assign_clusters(fingerprints, edges)
 
     return {

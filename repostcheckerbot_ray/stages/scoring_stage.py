@@ -222,14 +222,18 @@ def _empty_edge_table() -> pa.Table:
     )
 
 
-def dedup_edges(edges_ds, num_parts: int = 16):  # noqa: ANN001
+def dedup_edges(edges_ds, num_parts: int = 16, out_dir: str | None = None):  # noqa: ANN001
     """D4: keep the max-score edge per (url_a, url_b) pair — exact (100)
     dominates fuzzy, mirroring the reference's skip-if-exactly-matched
     (database.py:393 et al.).
 
     Implementation: hash-partition by pair key (few large groups), then one
     pandas sort + drop_duplicates per group — grouping by the raw pair key
-    would dispatch Python once per pair."""
+    would dispatch Python once per pair. With ``out_dir``, each group also
+    writes its parquet shard there (write-through, same pattern as the
+    checkpointed stages): the caller materializes ONE exchange and gets the
+    final edge sink for free instead of paying a separate write job +
+    read-back."""
     from ..functions.fingerprint import token_hash
 
     def add_pair_part(batch: pa.Table) -> pa.Table:
@@ -241,12 +245,22 @@ def dedup_edges(edges_ds, num_parts: int = 16):  # noqa: ANN001
         return batch.append_column("pair_part", pa.array(parts, pa.int32()))
 
     def keep_max(group: pa.Table) -> pa.Table:
+        pp = int(group["pair_part"][0].as_py())
         df = group.to_pandas()
         df = df.sort_values(["url_a", "url_b", "score", "kind"],
                             ascending=[True, True, False, True])
         df = df.drop_duplicates(["url_a", "url_b"], keep="first")
-        return pa.Table.from_pandas(df.drop(columns=["pair_part"]),
-                                    preserve_index=False)
+        out = pa.Table.from_pandas(df.drop(columns=["pair_part"]),
+                                   preserve_index=False)
+        if out_dir is not None:
+            import os
+
+            import pyarrow.parquet as pq
+
+            tmp = os.path.join(out_dir, f".tmp-part-{pp:05d}.parquet")
+            pq.write_table(out, tmp)
+            os.replace(tmp, os.path.join(out_dir, f"part-{pp:05d}.parquet"))
+        return out
 
     tagged = edges_ds.map_batches(add_pair_part, batch_format="pyarrow",
                                   zero_copy_batch=True)
