@@ -50,22 +50,42 @@ def _cluster_cpus() -> int:
     return os.cpu_count() or 4
 
 
-def _pool_size() -> tuple:
+def _pool_size(n_rows: int | None = None):
     """Actor-pool ``concurrency`` sized to the cluster, with headroom for
     the shuffle/read tasks that run alongside (a pool reserving every CPU
     starves the downstream exchange — same rule as the flagship's
-    fingerprint pool). Autoscaling lower bound keeps tiny inputs from
-    paying full pool ramp-up."""
+    fingerprint pool).
+
+    With ``n_rows`` (parquet metadata — free): a FIXED pool sized to the
+    actual work, ~2048 rows per actor minimum — measured on this host,
+    ramping a 24-actor pool for a 3-second query costs more than the
+    parallelism returns (minhash secondary 3.2 s → 5.8 s), while fixed
+    pools beat autoscaling ramp on big inputs (A/B in BASELINE.md).
+    Without it: autoscaling (1, full) as the safe default."""
     cpus = _cluster_cpus()
-    return (1, max(2, cpus - max(2, cpus // 4)))
+    full = max(2, cpus - max(2, cpus // 4))
+    if n_rows is None:
+        return (1, full)
+    return max(2, min(full, n_rows // 2048 + 1))
 
 
-def _n_parts() -> int:
-    """Part count for keyed exchanges (hash(key) % P): ≥ 2× CPUs so no
-    stage is capped below cluster parallelism; results are P-invariant
-    (the key function keeps all rows of a band/user together regardless
-    of P)."""
-    return max(32, 2 * _cluster_cpus())
+def _table_rows(sf_dir: str, table: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
+def _n_parts(n_rows: int | None = None) -> int:
+    """Part count for keyed exchanges (hash(key) % P): up to 2× CPUs so no
+    stage is capped below cluster parallelism, but never more parts than
+    the input can fill (~4096 rows per part minimum — measured on this
+    host, 64 parts over a 5k-doc table costs ~1.6× the 16-part run in
+    group-dispatch/exchange overhead). Results are P-invariant (the key
+    function keeps all rows of a band/user together regardless of P)."""
+    cap = max(32, 2 * _cluster_cpus())
+    if n_rows is None:
+        return cap
+    return max(16, min(cap, n_rows // 4096))
 
 
 def _read(sf_dir: str, table: str, columns: list[str]):
@@ -260,7 +280,7 @@ def session_counts(sf_dir: str):
     user; here all users of a part are sessionized in ONE vectorized pass
     over the (user, ts)-sorted part."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    n_parts = _n_parts()
+    n_parts = _n_parts(_table_rows(sf_dir, "events"))
 
     def add_part(batch: pa.Table) -> pa.Table:
         from ..functions.fingerprint import splitmix64
@@ -317,7 +337,7 @@ def range_join_events(sf_dir: str, left_type: str = "click",
     ts-sorted right rows (no quadratic scan). Output cardinality is the
     true join size — bounded by the window, not by group size."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
-    n_parts = _n_parts()
+    n_parts = _n_parts(_table_rows(sf_dir, "events"))
 
     def add_part(batch: pa.Table) -> pa.Table:
         from ..functions.fingerprint import splitmix64
@@ -431,7 +451,7 @@ def asof_join_events(sf_dir: str, probe_type: str = "purchase",
     bounds one group.
     """
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
-    n_parts = _n_parts()
+    n_parts = _n_parts(_table_rows(sf_dir, "events"))
 
     def add_part(batch: pa.Table) -> pa.Table:
         from ..functions.fingerprint import splitmix64
@@ -645,7 +665,8 @@ class _TextAnalyzer:
 def text_analysis(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(_TextAnalyzer, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=_pool_size())
+                          zero_copy_batch=True,
+                          concurrency=_pool_size(_table_rows(sf_dir, "documents")))
 
 
 # --------------------------------------------------------------------------
@@ -678,8 +699,8 @@ class _ShingleBander:
         )
 
 
-def _candidate_pairs_ds(bands_ds, max_block: int = 256):  # noqa: ANN001
-    """Part-keyed exchange (part = band_key % 32 → few large groups), then a
+def _candidate_pairs_ds(bands_ds, max_block: int = 256, n_parts: int = 16):  # noqa: ANN001
+    """Part-keyed exchange (part = band_key % P → few large groups), then a
     numpy run-scan over sorted band keys inside each part; only
     multi-occupancy bands emit pairs, deduped WITHIN the part (a pair
     surfacing in several bands of one part collapses here; cross-part
@@ -709,7 +730,7 @@ def _candidate_pairs_ds(bands_ds, max_block: int = 256):  # noqa: ANN001
 
     # coalesce before the shuffle: sort-shuffle cost grows with block count²
     with fast_shuffle():
-        cands = bands_ds.repartition(_n_parts()).groupby("part").map_groups(
+        cands = bands_ds.repartition(n_parts).groupby("part").map_groups(
             pairs_in_part, batch_format="pyarrow")
         cands = cands.materialize()
     return cands
@@ -750,11 +771,12 @@ def _verified_pairs(sf_dir: str, threshold: float):
     from ..stages.pair_join import attach_via_union, verify_pairs_distributed
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    bands = ds.map_batches(_ShingleBander,
-                           fn_constructor_kwargs={"n_parts": _n_parts()},
-                           batch_format="pyarrow",
-                           zero_copy_batch=True, concurrency=_pool_size())
-    cands = _candidate_pairs_ds(bands)
+    n_parts = _n_parts(_table_rows(sf_dir, "documents"))
+    bands = ds.map_batches(
+        _ShingleBander, fn_constructor_kwargs={"n_parts": n_parts},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=_pool_size(_table_rows(sf_dir, "documents")))
+    cands = _candidate_pairs_ds(bands, n_parts=n_parts)
     if cands.count() == 0:
         import ray.data as rd
 
@@ -763,7 +785,7 @@ def _verified_pairs(sf_dir: str, threshold: float):
              "score": pa.array([], pa.float64()),
              "part": pa.array([], pa.int32())}))
     attached = attach_via_union(cands, ds, "doc_id", "text",
-                                num_parts=_n_parts())
+                                num_parts=n_parts)
     return verify_pairs_distributed(attached, _jaccard_factory(threshold))
 
 
@@ -853,10 +875,11 @@ def simhash_dedup_clusters(sf_dir: str, max_hamming: int = 3,
     are scored in max_block shards — recall recovered via the other
     N_BANDS-1 bands, same skew rule as the flagship scorer."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    rows = ds.map_batches(_SimhashBander,
-                          fn_constructor_kwargs={"n_parts": _n_parts()},
-                          batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=_pool_size())
+    n_parts = _n_parts(_table_rows(sf_dir, "documents"))
+    rows = ds.map_batches(
+        _SimhashBander, fn_constructor_kwargs={"n_parts": n_parts},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=_pool_size(_table_rows(sf_dir, "documents")))
 
     def pairs_in_part(group: pa.Table) -> pa.Table:
         g = group.sort_by([("band_key", "ascending"), ("doc_id", "ascending")])
@@ -894,7 +917,7 @@ def simhash_dedup_clusters(sf_dir: str, max_hamming: int = 3,
     from . import fast_shuffle
 
     with fast_shuffle():
-        out = rows.repartition(_n_parts()).groupby("part").map_groups(
+        out = rows.repartition(n_parts).groupby("part").map_groups(
             pairs_in_part, batch_format="pyarrow")
     for t in out.iter_batches(batch_size=65536, batch_format="pyarrow"):
         edges.update(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
