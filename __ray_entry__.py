@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": corpus_ops.lang_counts,                    # E1
         "source_doc_stats": corpus_ops.source_doc_stats,          # partial-agg
         "top_k_longest": corpus_ops.top_k_longest,                # E6
+        "top_k_per_source": corpus_ops.top_k_per_source,          # grouped top-k
+        "source_length_quantiles": corpus_ops.source_length_quantiles,  # exact group quantiles
         "token_counts": corpus_ops.token_counts,                  # text analysis
         "char_counts": corpus_ops.char_counts,
         "bpe_token_counts": corpus_ops.bpe_token_counts,
@@ -262,6 +264,25 @@ def oracle_sql() -> dict[str, str]:
         "top_k_longest": (
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 20"
+        ),
+        "top_k_per_source": (
+            "SELECT source, doc_id, n_chars FROM ("
+            "  SELECT source, doc_id, n_chars,"
+            "    row_number() OVER (PARTITION BY source"
+            "      ORDER BY n_chars DESC, doc_id ASC) AS rn"
+            "  FROM documents) WHERE rn <= 3"
+        ),
+        # percentile_disc = sorted ascending, index ceil(q*n)-1 — the exact
+        # discrete-quantile rule the Ray side implements in numpy
+        "source_length_quantiles": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            "  CAST(MIN(n_chars) AS BIGINT) AS min_chars,"
+            "  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)"
+            "       AS BIGINT) AS p50_chars,"
+            "  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)"
+            "       AS BIGINT) AS p90_chars,"
+            "  CAST(MAX(n_chars) AS BIGINT) AS max_chars "
+            "FROM documents GROUP BY source"
         ),
         "token_counts": (
             "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 "

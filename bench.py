@@ -135,6 +135,9 @@ def run_bench() -> dict:
     timed("hopping_window_counts", lambda: corpus_ops.hopping_window_counts(SF_DIR))
     timed("range_join_events", lambda: corpus_ops.range_join_events(SF_DIR))
     timed("tombstone_anti_join", lambda: corpus_ops.tombstone_anti_join(SF_DIR))
+    timed("top_k_per_source", lambda: corpus_ops.top_k_per_source(SF_DIR))
+    timed("source_length_quantiles",
+          lambda: corpus_ops.source_length_quantiles(SF_DIR))
     timed("source_reclassify", lambda: corpus_ops.source_reclassify(SF_DIR))
     timed("knn_cosine", lambda: embedding_ops.knn_brute_force(SF_DIR))
     timed("knn_ivf", lambda: embedding_ops.knn_ivf(SF_DIR))

@@ -168,6 +168,52 @@ def top_k_longest(sf_dir: str, k: int = 20):
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
 
 
+def top_k_per_source(sf_dir: str, k: int = 3):
+    """Grouped top-k — the curation staple "keep the k best docs per
+    domain" (here: longest per source, deterministic doc_id tiebreak).
+    One keyed exchange; the per-group head-k is a vectorized sort + slice.
+    Each group's output is k rows, so the result is tiny regardless of
+    corpus size; skew = docs per source bounds one group."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def head_k(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("n_chars", "descending"), ("doc_id", "ascending")])
+        return g.slice(0, k)
+
+    return (ds.groupby("source").map_groups(head_k, batch_format="pyarrow")
+            .select_columns(["source", "doc_id", "n_chars"]))
+
+
+_QUANTILES = (0.5, 0.9)
+
+
+def source_length_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (quality-distribution profiling
+    per source). percentile_disc semantics — sorted ascending, index
+    ceil(q·n)−1 — matching DuckDB/Postgres exactly, so the oracle compares
+    integer-exact. One keyed exchange; per-group work is one numpy sort.
+    (Exact quantiles need the group's values together — the documented
+    partitioning assumption; a sketch (t-digest/KLL) is the approximate
+    alternative when even one group outgrows a node.)"""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def quants(group: pa.Table) -> pa.Table:
+        s = np.sort(group["n_chars"].to_numpy(zero_copy_only=False))
+        n = len(s)
+        row = {"source": [group["source"][0].as_py()],
+               "n_docs": [np.int64(n)],
+               "min_chars": [np.int64(s[0])],
+               "max_chars": [np.int64(s[-1])]}
+        for q in _QUANTILES:
+            idx = max(0, int(np.ceil(q * n)) - 1)
+            row[f"p{int(q * 100)}_chars"] = [np.int64(s[idx])]
+        return pa.table(row)
+
+    return (ds.groupby("source").map_groups(quants, batch_format="pyarrow")
+            .select_columns(["source", "n_docs", "min_chars", "p50_chars",
+                             "p90_chars", "max_chars"]))
+
+
 def token_counts(sf_dir: str):
     """Whitespace token count, fully vectorized (Arrow kernels only)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -42,3 +42,33 @@ def test_simhash_clusters_match_bruteforce(ray_session):
     got = dict(zip(got_df["doc_id"], got_df["cluster_id"]))
     for d in ids:
         assert got[d] == want.get(d, d), f"doc {d}: {got[d]} != {want.get(d, d)}"
+
+
+def test_part_count_invariance(ray_session, monkeypatch):
+    """The exchange part count is a pure performance knob (sized to input
+    and cluster): forcing different P must produce IDENTICAL results for
+    the part-keyed operators (band dedup, sessionization, temporal joins).
+    This is the determinism contract that lets part counts scale with the
+    cluster at 100 TB without re-validating outputs."""
+    import pandas as pd
+
+    from repostcheckerbot_ray.pipelines import corpus_ops
+
+    SF = "/root/testdata/sf0.001"
+
+    def run_all():
+        out = {}
+        out["minhash"] = corpus_ops.minhash_dedup_clusters(SF).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        out["sessions"] = corpus_ops.session_counts(SF).to_pandas() \
+            .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+        out["range"] = corpus_ops.range_join_events(SF).to_pandas() \
+            .sort_values(["left_event_id", "right_event_id"]).reset_index(drop=True)
+        return out
+
+    results = {}
+    for p in (5, 17):  # deliberately odd, small, different
+        monkeypatch.setattr(corpus_ops, "_n_parts", lambda n_rows=None, _p=p: _p)
+        results[p] = run_all()
+    for key in results[5]:
+        pd.testing.assert_frame_equal(results[5][key], results[17][key])

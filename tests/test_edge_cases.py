@@ -77,3 +77,59 @@ def test_noop_rerun_resumes_everything(ray_session, fixture_dir, tmp_path):
     for stage in ("fingerprints", "edges_raw", "edges_text"):
         row = m[(m["stage"] == stage) & (m["counter"] == "parts_resumed")]
         assert int(row["value"].iloc[0]) == cfg.num_parts, stage
+
+
+def test_hash_shuffle_fallback_produces_identical_output(
+        ray_session, tmp_path, monkeypatch):
+    """The fused stages run under the hash-shuffle strategy with a
+    sort-strategy re-run as the fallback (Ray 2.49's hash shuffle crashes
+    on some empty-input shapes). Force the hash attempt to fail and pin
+    that the fallback path writes the SAME checkpoints and clusters."""
+    import pandas as pd
+
+    from repostcheckerbot_ray.pipelines import repost as repost_mod
+
+    rows = [(f"http://u{i}", 1_000_000 * (i + 1),
+             f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(40)))
+            for i in range(6)]
+    rows.append(("http://copy", 99_000_000, rows[0][2]))  # exact dup of u0
+    pages = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "html": pa.array([b"" for _ in rows], pa.binary()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        }
+    )
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(pages, pdir / "p0.parquet")
+
+    cfg = RepostConfig(num_parts=4)
+    normal = run_repost_pipeline(str(pdir), str(tmp_path / "out_normal"), cfg)
+    want = normal["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
+
+    import contextlib
+
+    calls = {"n": 0}
+    real = repost_mod.fast_shuffle if hasattr(repost_mod, "fast_shuffle") else None
+
+    @contextlib.contextmanager
+    def broken_fast_shuffle():
+        calls["n"] += 1
+        raise RuntimeError("simulated hash-shuffle crash")
+        yield  # pragma: no cover
+
+    from repostcheckerbot_ray import pipelines as pipelines_pkg
+
+    monkeypatch.setattr(pipelines_pkg, "fast_shuffle", broken_fast_shuffle)
+    fallback = run_repost_pipeline(str(pdir), str(tmp_path / "out_fb"), cfg)
+    got = fallback["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
+
+    assert calls["n"] >= 1  # the hash path was attempted and failed
+    m = fallback["metrics"].table().to_pandas()
+    assert (m[m.counter == "hash_shuffle_fallback"]["value"] >= 1).any()
+    pd.testing.assert_frame_equal(
+        got[["url", "cluster_id", "cluster_size"]],
+        want[["url", "cluster_id", "cluster_size"]])
