@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": corpus_ops.range_join_events,        # bounded range join
         # dedup family (cluster outputs SQL-predictable via exact-copy union)
         "minhash_dedup_clusters": corpus_ops.minhash_dedup_clusters,  # E4/D3
+        "minhash_dedup_keep_first": corpus_ops.minhash_dedup_keep_first,
         "simhash_dedup_clusters": corpus_ops.simhash_dedup_clusters,
         # similarity search
         "knn_cosine": lambda sf: embedding_ops.knn_brute_force(sf),
@@ -343,6 +344,20 @@ def oracle_sql() -> dict[str, str]:
             "  LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id "
             "FROM documents d LEFT JOIN reach r ON r.src = d.doc_id "
             "GROUP BY d.doc_id"
+        ),
+        # deduped corpus = survivors (min member per closure component):
+        # exactly the docs not reachable from any smaller doc
+        "minhash_dedup_keep_first": (
+            "WITH RECURSIVE " + _TRI_PAIRS_CTE + ","
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs"
+            "          UNION ALL SELECT id_b, id_a FROM pairs),"
+            "reach(src, dst) AS ("
+            "  SELECT a, b FROM edges"
+            "  UNION"
+            "  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst) "
+            "SELECT d.doc_id FROM documents d LEFT JOIN reach r "
+            "ON r.src = d.doc_id GROUP BY d.doc_id "
+            "HAVING LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) = d.doc_id"
         ),
         "knn_cosine": (
             "SELECT query_id, neighbor_id FROM ("

@@ -879,6 +879,20 @@ def minhash_dedup_clusters(sf_dir: str, verify_jaccard: float = 0.8):
     return _assign_clusters(ds, comp)
 
 
+def minhash_dedup_keep_first(sf_dir: str, verify_jaccard: float = 0.8):
+    """The DEDUPED corpus (survivor per near-dup cluster), not just the
+    cluster labels: keep the min-doc_id member of every cluster —
+    "per-group first", the same rule exact dedup uses. Implemented as a
+    map-side filter over the cluster relation (cluster_id IS the min
+    member, so survivors are exactly the rows labeling themselves — no
+    second exchange)."""
+    clusters = minhash_dedup_clusters(sf_dir, verify_jaccard)
+    return clusters.map_batches(
+        lambda t: t.filter(pc.equal(t["doc_id"], t["cluster_id"]))
+                   .select(["doc_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 class _SimhashBander:
     """Actor: doc → (doc_id, simhash, band_key) rows, 4×16-bit bands
     (pigeonhole: Hamming < 4 ⇒ one band equal)."""
