@@ -72,6 +72,8 @@ def _simhash_cte() -> str | None:
     from repostcheckerbot_ray.functions.fingerprint import fingerprint_text_many
 
     t = _pq.read_table(path, columns=["doc_id", "text"])
+    if t.num_rows == 0:  # "VALUES ()" is a parse error — no oracle then
+        return None
     cache: dict = {}
     _, sims, _ = fingerprint_text_many(
         [x.lower().split() for x in t["text"].to_pylist()], cache,

@@ -53,6 +53,34 @@ def fast_shuffle():
         ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = prev["ag_cpu"]
 
 
+def cluster_cpus() -> int:
+    """Cluster CPU budget (initialized Ray session, else the host)."""
+    import ray
+
+    if ray.is_initialized():
+        return int(ray.cluster_resources().get("CPU", 0)) or 4
+    import os
+
+    return os.cpu_count() or 4
+
+
+def pool_size(n_rows: int | None = None):
+    """Actor-pool ``concurrency`` sized to the cluster, with headroom for
+    the shuffle/read tasks that run alongside (a pool reserving every CPU
+    starves the downstream exchange — the flagship fingerprint pool rule).
+
+    With ``n_rows`` (parquet metadata — free): a FIXED pool sized to the
+    actual work, ~2048 rows per actor minimum — measured on this host,
+    ramping a 24-actor pool for a 3-second query costs more than the
+    parallelism returns, while fixed pools beat autoscaling ramp on big
+    inputs (A/B in BASELINE.md). Without it: autoscaling (1, full)."""
+    cpus = cluster_cpus()
+    full = max(2, cpus - max(2, cpus // 4))
+    if n_rows is None:
+        return (1, full)
+    return max(2, min(full, n_rows // 2048 + 1))
+
+
 def _pin_arrow_threads() -> None:
     """Limit pyarrow's internal thread pool inside Ray workers.
 

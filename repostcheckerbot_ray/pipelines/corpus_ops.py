@@ -40,33 +40,10 @@ COPY_SHIFT = 100_000
 TTL_CUTOFF = "2024-01-15 00:00:00"
 
 
-def _cluster_cpus() -> int:
-    import ray
-
-    if ray.is_initialized():
-        return int(ray.cluster_resources().get("CPU", 0)) or 4
-    import os
-
-    return os.cpu_count() or 4
-
-
-def _pool_size(n_rows: int | None = None):
-    """Actor-pool ``concurrency`` sized to the cluster, with headroom for
-    the shuffle/read tasks that run alongside (a pool reserving every CPU
-    starves the downstream exchange — same rule as the flagship's
-    fingerprint pool).
-
-    With ``n_rows`` (parquet metadata — free): a FIXED pool sized to the
-    actual work, ~2048 rows per actor minimum — measured on this host,
-    ramping a 24-actor pool for a 3-second query costs more than the
-    parallelism returns (minhash secondary 3.2 s → 5.8 s), while fixed
-    pools beat autoscaling ramp on big inputs (A/B in BASELINE.md).
-    Without it: autoscaling (1, full) as the safe default."""
-    cpus = _cluster_cpus()
-    full = max(2, cpus - max(2, cpus // 4))
-    if n_rows is None:
-        return (1, full)
-    return max(2, min(full, n_rows // 2048 + 1))
+# shared cluster-sizing helpers live in pipelines.__init__ (infra, imported
+# by stages too); kept under the old private names for in-module use
+from . import cluster_cpus as _cluster_cpus  # noqa: E402
+from . import pool_size as _pool_size  # noqa: E402
 
 
 def _table_rows(sf_dir: str, table: str) -> int:

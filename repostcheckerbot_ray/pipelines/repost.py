@@ -149,7 +149,6 @@ def _d1_dedup(group: pa.Table) -> pa.Table:
     invariant can't drift."""
     g = group.sort_by([("url", "ascending"), ("warc_ts", "ascending"),
                        ("content_hash", "ascending")])
-    import numpy as np
 
     # numpy adjacent-compare on the sorted column (house pattern, cf.
     # scoring_stage run scans) — no per-row Python over the part
@@ -206,7 +205,18 @@ def _checkpointed_stage(ds_builder, input_filter, ckpt: StageCheckpoint,
                     written = build()
                     written = (written.materialize()
                                if written is not None else None)
-            except Exception:
+            except Exception as e:
+                # fall back ONLY for the known Ray 2.49 hash-shuffle empty-
+                # input crash shapes — a deterministic UDF/write bug must
+                # surface immediately, not after a silent doubled re-run
+                msg = repr(e)
+                if not any(s in msg for s in (
+                        "sort key", "empty schema", "HashShuffle")):
+                    raise
+                import sys as _sys
+
+                print(f"hash-shuffle fallback for stage {ckpt.stage}: {msg}",
+                      file=_sys.stderr)
                 metrics.add(ckpt.stage, "hash_shuffle_fallback", 1)
                 written = build()
                 written = written.materialize() if written is not None else None
@@ -240,7 +250,6 @@ def _drop_parts_filter(col: str, num_parts: int, done: set[int]):
     """Vectorized-enough pre-filter: skip rows whose stage partition is
     already checkpointed (the compute-skip half of resume)."""
 
-    import numpy as np
 
     done_arr = np.array(sorted(done), dtype=np.int64)
 
@@ -566,7 +575,6 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
                              "pp": pa.array(pp, pa.int32())})
 
         def uniq(group: pa.Table) -> pa.Table:
-            import numpy as np
 
             g = group.sort_by([("url_a", "ascending"), ("url_b", "ascending")])
             a = np.asarray(g["url_a"].to_numpy(zero_copy_only=False), dtype=object)
@@ -633,7 +641,6 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     )
 
     # --- Stage 3: union + edge dedup (D4) -----------------------------------
-    import ray.data as rd
 
     all_edges = direct_edges.union(text_edges)
     all_edges = all_edges.select_columns(["url_a", "url_b", "score", "kind"])
@@ -649,7 +656,6 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
                      + n_extra_edges)
 
     # --- Stage 4: clusters (E4) ---------------------------------------------
-    import ray.data as rd
 
     _mark("edge_dedup_build")
     if write_outputs:
@@ -782,7 +788,16 @@ def _collect_source_upgrades(delta_pages_path, hist_ckpt_dir: str,  # noqa: ANN0
     # warc_ts (+ source when the input carries one) — html never leaves
     # storage for this pass.
     if hasattr(delta_pages_path, "map_batches"):  # pre-built Dataset
-        pages = read_pages(delta_pages_path, ttl_cutoff_us=cfg.ttl_cutoff_us)
+        def project(t: pa.Table) -> pa.Table:
+            keep = [c for c in ("url", "warc_ts", "source")
+                    if c in t.column_names]
+            return t.select(keep)
+
+        # drop html before the TTL filter / exchange — this pass only
+        # needs (url, warc_ts, source)
+        pruned = delta_pages_path.map_batches(
+            project, batch_format="pyarrow", zero_copy_batch=True)
+        pages = read_pages(pruned, ttl_cutoff_us=cfg.ttl_cutoff_us)
     else:
         import pyarrow.dataset as pads
 
@@ -906,6 +921,17 @@ def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # no
             f"num_parts mismatch")
     hist_files = [os.path.join(hist_ckpt_dir, f"part={p}.parquet")
                   for p in range(cfg.num_parts)]
+    # schema compatibility: _CKPT_SCHEMA_V invalidates SAME-RUN checkpoints
+    # via the config hash, but a history dir written by an older engine
+    # version reaches here unhashed — fail loudly with the actual gap
+    # instead of a missing-column error deep inside a Ray task
+    want_cols = {f.name for f in FINGERPRINT_SCHEMA}
+    have_cols = set(pq.read_schema(hist_files[0]).names)
+    if not want_cols <= have_cols:
+        raise ValueError(
+            f"history fingerprint checkpoint at {hist_ckpt_dir} lacks "
+            f"columns {sorted(want_cols - have_cols)} — written by an older "
+            f"engine version; re-run the history pipeline to refresh it")
     hist_files = [f for f in hist_files if pq.read_metadata(f).num_rows > 0]
     history = (rd.read_parquet(hist_files) if hist_files
                else rd.from_arrow(FINGERPRINT_SCHEMA.empty_table()))
@@ -937,35 +963,25 @@ def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # no
     hist_edges = (rd.read_parquet(hist_edges_dir)
                   if os.path.isdir(hist_edges_dir) else None)
 
-    res = run_repost_pipeline(
-        delta_pages_path, out_dir, cfg, write_outputs=write_outputs,
-        extra_fingerprints=history,
-        extra_fingerprint_ckpts=[hist_ckpt_dir],
-        extra_edges=hist_edges,
-        tombstones=tombstones,
-        _fp_ckpt_cls=_DeltaFilterCheckpoint,
-    )
-
     # D6 in the delta path: a logged url rescanned under a higher-precedence
-    # source gets its provenance UPGRADED in this run's fingerprint view
-    # (reference update_database on Location, database.py:344-350);
-    # everything else stays first-writer (the delta row itself was dropped
-    # by drop_logged above). Upgrades are delta-sized -> broadcast once.
+    # source gets its provenance UPGRADED (reference update_database on
+    # Location, database.py:344-350); everything else stays first-writer
+    # (the repeat post itself is dropped by drop_logged below). Computed
+    # BEFORE the pipeline and applied to the history relation entering the
+    # union, so every view this run produces — returned fingerprints,
+    # checkpoint-attached texts, report — sees the upgraded provenance.
+    # Durability contract: the history checkpoint itself is IMMUTABLE
+    # (test-pinned — delta runs never rewrite history parts); the upgrade
+    # is durable as (a) this run's source_upgrades.parquet update-sink
+    # record and (b) a pure deterministic function of (history ckpt, delta
+    # pages), so any rerun re-derives it. A later, DIFFERENT delta against
+    # the same history re-derives only its own upgrades — accumulating
+    # them across deltas would require a mutable history store, which this
+    # engine deliberately does not have.
     upgrades = _collect_source_upgrades(delta_pages_path, hist_ckpt_dir, cfg)
-    res["metrics"].add("source_upgrades", "urls", len(upgrades))
-    if write_outputs:  # refresh the metrics sink with the upgrade counter
-        pq.write_table(res["metrics"].table(),
-                       os.path.join(out_dir, "metrics.parquet"))
     if upgrades:
         import ray
 
-        up_tbl = pa.table({
-            "url": pa.array(sorted(upgrades), pa.string()),
-            "source": pa.array([upgrades[u] for u in sorted(upgrades)],
-                               pa.string()),
-        })
-        if write_outputs:  # A6 update-sink record
-            pq.write_table(up_tbl, os.path.join(out_dir, "source_upgrades.parquet"))
         up_ref = ray.put(dict(upgrades))
 
         def apply_upgrade(batch: pa.Table) -> pa.Table:
@@ -983,6 +999,29 @@ def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # no
                 batch.schema.get_field_index("source"), "source",
                 pa.array(src.to_numpy(), pa.string()))
 
-        res["fingerprints"] = res["fingerprints"].map_batches(
-            apply_upgrade, batch_format="pyarrow", zero_copy_batch=True)
+        history = history.map_batches(apply_upgrade, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    res = run_repost_pipeline(
+        delta_pages_path, out_dir, cfg, write_outputs=write_outputs,
+        extra_fingerprints=history,
+        extra_fingerprint_ckpts=[hist_ckpt_dir],
+        extra_edges=hist_edges,
+        tombstones=tombstones,
+        _fp_ckpt_cls=_DeltaFilterCheckpoint,
+    )
+
+    res["metrics"].add("source_upgrades", "urls", len(upgrades))
+    if write_outputs:
+        # refresh the metrics sink with the upgrade counter + A6 record
+        pq.write_table(res["metrics"].table(),
+                       os.path.join(out_dir, "metrics.parquet"))
+        if upgrades:
+            up_tbl = pa.table({
+                "url": pa.array(sorted(upgrades), pa.string()),
+                "source": pa.array([upgrades[u] for u in sorted(upgrades)],
+                                   pa.string()),
+            })
+            pq.write_table(up_tbl,
+                           os.path.join(out_dir, "source_upgrades.parquet"))
     return res

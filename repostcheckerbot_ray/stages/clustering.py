@@ -73,8 +73,15 @@ def _distributed_cc_threshold() -> int:
 
 
 def _labels_to_comp(labels_ds) -> dict:  # noqa: ANN001
-    """Converged label relation -> {url: cluster_id}, dropping self-labeled
-    singletons (the assigner defaults those to their own url anyway)."""
+    """Converged label relation -> {url: cluster_id}.
+
+    Self-labeled roots (url == cluster_id) are deliberately KEPT — parity
+    with UnionFind.components(), which includes root->root entries. This
+    is load-bearing: cluster_meta aggregates min_ts/size only over urls
+    PRESENT in comp, so dropping roots would lose each cluster's min
+    member from the count (size off by one, is_original wrong). The
+    setdefault (vs plain assignment) only guards against a duplicate
+    label row clobbering a non-self mapping."""
     comp: dict = {}
     for b in labels_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for u, c in zip(b["url"].to_pylist(), b["cluster_id"].to_pylist()):

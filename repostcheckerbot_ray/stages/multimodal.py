@@ -104,9 +104,9 @@ def media_features(pages_ds, *, batch_size: int = 64, concurrency=None,
     purpose: payload bytes × batch × concurrency must fit worker heap;
     concurrency defaults to the cluster-sized pool (autoscaling floor 1)."""
     if concurrency is None:
-        from ..pipelines.corpus_ops import _pool_size
+        from ..pipelines import pool_size
 
-        concurrency = _pool_size()
+        concurrency = pool_size()
     return pages_ds.map_batches(
         MediaFeatureExtractor,
         fn_constructor_kwargs={"decode": decode},

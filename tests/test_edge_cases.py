@@ -118,7 +118,10 @@ def test_hash_shuffle_fallback_produces_identical_output(
     @contextlib.contextmanager
     def broken_fast_shuffle():
         calls["n"] += 1
-        raise RuntimeError("simulated hash-shuffle crash")
+        # message mimics the real crash class — the fallback matches on it
+        # and re-raises anything else (a UDF bug must surface, not re-run)
+        raise RuntimeError("HashShuffleAggregator: Invalid sort key column "
+                           "in <empty schema> (simulated)")
         yield  # pragma: no cover
 
     from repostcheckerbot_ray import pipelines as pipelines_pkg
@@ -133,3 +136,38 @@ def test_hash_shuffle_fallback_produces_identical_output(
     pd.testing.assert_frame_equal(
         got[["url", "cluster_id", "cluster_size"]],
         want[["url", "cluster_id", "cluster_size"]])
+
+
+def test_unrelated_error_is_not_swallowed_by_fallback(
+        ray_session, tmp_path, monkeypatch):
+    """A deterministic error during the hash attempt that does NOT look
+    like the known Ray hash-shuffle crash must surface immediately — not
+    trigger a silent doubled re-run under the sort strategy."""
+    import contextlib
+
+    import pytest
+
+    from repostcheckerbot_ray import pipelines as pipelines_pkg
+
+    pages = pa.table(
+        {
+            "url": pa.array(["http://x"], pa.string()),
+            "warc_ts": pa.array([1_000_000], pa.timestamp("us")),
+            "html": pa.array([b""], pa.binary()),
+            "text": pa.array(["hello world tokens here"], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+        }
+    )
+    pdir = tmp_path / "pages"
+    pdir.mkdir()
+    pq.write_table(pages, pdir / "p0.parquet")
+
+    @contextlib.contextmanager
+    def broken(*a, **k):
+        raise RuntimeError("some genuine scorer bug")
+        yield  # pragma: no cover
+
+    monkeypatch.setattr(pipelines_pkg, "fast_shuffle", broken)
+    with pytest.raises(RuntimeError, match="genuine scorer bug"):
+        run_repost_pipeline(str(pdir), str(tmp_path / "out"),
+                            RepostConfig(num_parts=2))
