@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": corpus_ops.asof_join_events,          # temporal as-of join
         "hopping_window_counts": corpus_ops.hopping_window_counts,  # sliding windows
         "range_join_events": corpus_ops.range_join_events,        # bounded range join
+        "window_dedup_events": corpus_ops.window_dedup_events,    # streaming debounce
         # dedup family (cluster outputs SQL-predictable via exact-copy union)
         "minhash_dedup_clusters": corpus_ops.minhash_dedup_clusters,  # E4/D3
         "minhash_dedup_keep_first": corpus_ops.minhash_dedup_keep_first,
@@ -413,6 +414,18 @@ def oracle_sql() -> dict[str, str]:
             "  FROM events) "
             "SELECT event_type, window_start, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM w GROUP BY event_type, window_start"
+        ),
+        # streaming debounce: keep iff the previous same-(user,type) event
+        # in (ts, event_id) order is > 30 min older or absent; LAG compares
+        # against the previous EVENT (kept or not) — both sides integer-µs
+        "window_dedup_events": (
+            "WITH o AS ("
+            "  SELECT event_id, user_id, event_type, ts,"
+            "    lag(ts) OVER (PARTITION BY user_id, event_type"
+            "      ORDER BY ts, event_id) AS pts"
+            "  FROM events) "
+            "SELECT event_id, user_id, event_type, ts FROM o "
+            "WHERE pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000"
         ),
         # bounded range join: strictly-after, inclusive upper bound —
         # mirrors the Ray side's (lo, hi] searchsorted interval exactly

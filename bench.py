@@ -134,6 +134,7 @@ def run_bench() -> dict:
     timed("asof_join_events", lambda: corpus_ops.asof_join_events(SF_DIR))
     timed("hopping_window_counts", lambda: corpus_ops.hopping_window_counts(SF_DIR))
     timed("range_join_events", lambda: corpus_ops.range_join_events(SF_DIR))
+    timed("window_dedup_events", lambda: corpus_ops.window_dedup_events(SF_DIR))
     timed("tombstone_anti_join", lambda: corpus_ops.tombstone_anti_join(SF_DIR))
     timed("top_k_per_source", lambda: corpus_ops.top_k_per_source(SF_DIR))
     timed("source_length_quantiles",

@@ -345,6 +345,47 @@ def session_counts(sf_dir: str):
             .select_columns(["user_id", "session_id", "n_events"]))
 
 
+DEBOUNCE_WINDOW_US = 30 * 60 * 1_000_000  # 30-min debounce
+
+
+def window_dedup_events(sf_dir: str, window_us: int = DEBOUNCE_WINDOW_US):
+    """Windowed streaming dedup (debounce): keep an event iff the previous
+    event of the SAME (user, type) — in (ts, event_id) order — is more than
+    ``window_us`` older (or absent). The batch form of a streaming
+    dedup-with-TTL-state operator: one keyed exchange co-locates each
+    user's events, then one numpy diff pass per part decides every row —
+    no per-event state machine. Ties (equal ts) deterministically drop the
+    higher event_id (diff 0 ≤ window). Integer epoch math, SQL-exact vs
+    the LAG-window oracle."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    n_parts = _n_parts(_table_rows(sf_dir, "events"))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        from ..functions.fingerprint import splitmix64
+
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = splitmix64(uid) % np.uint64(n_parts)
+        return batch.append_column("part", pa.array(part.astype(np.int32)))
+
+    def debounce(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("user_id", "ascending"),
+                           ("event_type", "ascending"),
+                           ("ts", "ascending"), ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(g["event_type"].to_numpy(zero_copy_only=False),
+                         dtype=object)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        new_run = np.r_[True, (uid[1:] != uid[:-1]) | (typ[1:] != typ[:-1])]
+        keep = new_run.copy()
+        if len(ts) > 1:
+            keep[1:] |= np.diff(ts) > window_us
+        return g.filter(pa.array(keep)).select(
+            ["event_id", "user_id", "event_type", "ts"])
+
+    return (ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("part").map_groups(debounce, batch_format="pyarrow"))
+
+
 RANGE_JOIN_WINDOW_US = 15 * 60 * 1_000_000  # 15-min range
 
 
