@@ -374,6 +374,14 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
 
         run_start = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
         run_end = np.r_[run_start[1:], len(bk)]
+        # full (non-delta) runs: every row is new — skip the per-run
+        # isnew slice+any (measured ~10% of the scorer's Python loop)
+        all_new = bool(isnew.all())
+        # text-rep mask, ONE vectorized pass instead of a per-run listcomp:
+        # first row of each (run, chash64) sub-run; run starts forced True
+        # (adjacent runs can coincidentally share a chash64)
+        rep_mask = np.r_[True, ch64[1:] != ch64[:-1]]
+        rep_mask[run_start] = True
 
         tmpl: dict[int, tuple] = {}
 
@@ -393,7 +401,7 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
             L = int(e_ - s_)
             if L < 2:
                 continue
-            if not isnew[s_:e_].any():  # pure-history run (delta mode)
+            if not all_new and not isnew[s_:e_].any():  # pure-history run
                 continue
             k = kinds[s_]
             if k == "e":
@@ -416,7 +424,7 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
                 # representative per content (64-bit fold) = first (min url)
                 # in the sorted run; a fold collision can only drop a
                 # would-be candidate pair, never corrupt output
-                reps = [i for i in range(s_, e_) if i == s_ or ch64[i] != ch64[i - 1]]
+                reps = (np.flatnonzero(rep_mask[s_:e_]) + s_).tolist()
                 if len(reps) > max_block:
                     salted += 1
                 for off in range(0, len(reps), max_block):
