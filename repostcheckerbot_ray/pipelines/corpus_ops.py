@@ -9,9 +9,12 @@ the `queries()` entries in `__ray_entry__.py`, most with a DuckDB oracle.
 
 Scale discipline: reads prune columns; per-batch kernels are
 pyarrow.compute / numpy; stateful shingling runs in an actor pool with a
-token-hash cache; near-dup candidate pairs are verified distributed with a
-broadcast text lookup (candidates ≪ corpus — the LSH contract); only
-pair/cluster-sized results ever reach the driver.
+token-hash cache; near-dup candidate pairs are verified DISTRIBUTED via
+the stages.pair_join keyed exchanges (texts routed once through the union
+join, scored per pair_part group — no driver pair set, no broadcast text
+dict; candidates ≪ corpus is the LSH contract); actor pools and exchange
+part counts size to both the cluster and the input (parquet-metadata row
+counts); only pair/cluster-sized results ever reach the driver.
 
 The ``with_copies`` helper unions the table with an id-shifted exact copy of
 itself: a deterministic self-contained duplicate injection so the dedup
