@@ -392,6 +392,24 @@ def window_dedup_events(sf_dir: str, window_us: int = DEBOUNCE_WINDOW_US):
 RANGE_JOIN_WINDOW_US = 15 * 60 * 1_000_000  # 15-min range
 
 
+def _user_ts_keys(uid: np.ndarray, ts: np.ndarray, pad: int) -> np.ndarray | None:
+    """Composite monotonic int64 key for (user, ts)-sorted temporal joins:
+    ``rank(user) * span + (ts - ts_min)`` with ``span > ts_span + pad``, so
+    one part-wide ``searchsorted`` replaces the per-user segment loop (a
+    key + pad can never cross into the next user's key band). Returns None
+    when ``n_users * span`` would overflow int64 — callers fall back to
+    the per-user loop (only reachable for parts spanning both millions of
+    users AND centuries of microseconds)."""
+    if len(ts) == 0:
+        return None
+    tmin = int(ts.min())
+    span = int(ts.max()) - tmin + int(pad) + 2
+    uu, rank = np.unique(uid, return_inverse=True)
+    if len(uu) * span >= 2 ** 62:
+        return None
+    return rank.astype(np.int64) * np.int64(span) + (ts - np.int64(tmin))
+
+
 def range_join_events(sf_dir: str, left_type: str = "click",
                       right_type: str = "error",
                       window_us: int = RANGE_JOIN_WINDOW_US):
@@ -423,31 +441,53 @@ def range_join_events(sf_dir: str, left_type: str = "click",
         eid = g["event_id"].to_numpy(zero_copy_only=False)
         is_l = np.asarray(g["event_type"].to_numpy(zero_copy_only=False)
                           == left_type)
-        la_parts, lb_parts = [], []
-        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
-        ends = np.r_[starts[1:], len(uid)]
-        for s_, e_ in zip(starts, ends):
-            l_idx = np.flatnonzero(is_l[s_:e_]) + s_
-            r_idx = np.flatnonzero(~is_l[s_:e_]) + s_
-            if len(l_idx) == 0 or len(r_idx) == 0:
-                continue
-            rts = ts[r_idx]
-            lo = np.searchsorted(rts, ts[l_idx], side="right")       # strictly after
-            hi = np.searchsorted(rts, ts[l_idx] + window_us, side="right")
+        la = lb = np.empty(0, np.int64)
+        # composite (user, ts) key: ONE part-wide searchsorted replaces the
+        # per-user segment loop; the span pad ≥ window guarantees a left
+        # key + window never reaches the next user's key band, so both
+        # bounds stay same-user with no validity mask
+        key = _user_ts_keys(uid, ts, window_us)
+        l_idx = np.flatnonzero(is_l)
+        r_idx = np.flatnonzero(~is_l)
+        if key is not None and len(l_idx) and len(r_idx):
+            rkey = key[r_idx]
+            lo = np.searchsorted(rkey, key[l_idx], side="right")  # strictly after
+            hi = np.searchsorted(rkey, key[l_idx] + window_us, side="right")
             # vectorized emission: each left row k pairs with the interval
             # r_idx[lo[k]:hi[k]] — np.repeat the left ids by interval length
             # and reconstruct the flat interval indices from offsets
             counts = hi - lo
             total = int(counts.sum())
-            if total == 0:
-                continue
-            la_parts.append(np.repeat(eid[l_idx], counts))
-            off = np.cumsum(counts) - counts  # start of each interval in flat
-            flat = np.repeat(lo, counts) + (np.arange(total)
-                                            - np.repeat(off, counts))
-            lb_parts.append(eid[r_idx[flat]])
-        la = np.concatenate(la_parts) if la_parts else np.empty(0, np.int64)
-        lb = np.concatenate(lb_parts) if lb_parts else np.empty(0, np.int64)
+            if total:
+                la = np.repeat(eid[l_idx], counts)
+                off = np.cumsum(counts) - counts  # interval starts in flat
+                flat = np.repeat(lo, counts) + (np.arange(total)
+                                                - np.repeat(off, counts))
+                lb = eid[r_idx[flat]]
+        elif len(l_idx) and len(r_idx):  # int64-overflow fallback: per-user
+            la_parts, lb_parts = [], []
+            starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+            ends = np.r_[starts[1:], len(uid)]
+            for s_, e_ in zip(starts, ends):
+                li = np.flatnonzero(is_l[s_:e_]) + s_
+                ri = np.flatnonzero(~is_l[s_:e_]) + s_
+                if len(li) == 0 or len(ri) == 0:
+                    continue
+                rts = ts[ri]
+                lo = np.searchsorted(rts, ts[li], side="right")
+                hi = np.searchsorted(rts, ts[li] + window_us, side="right")
+                counts = hi - lo
+                total = int(counts.sum())
+                if total == 0:
+                    continue
+                la_parts.append(np.repeat(eid[li], counts))
+                off = np.cumsum(counts) - counts
+                flat = np.repeat(lo, counts) + (np.arange(total)
+                                                - np.repeat(off, counts))
+                lb_parts.append(eid[ri[flat]])
+            if la_parts:
+                la = np.concatenate(la_parts)
+                lb = np.concatenate(lb_parts)
         return pa.table(
             {
                 "left_event_id": pa.array(la.astype(np.int64), pa.int64()),
@@ -537,31 +577,46 @@ def asof_join_events(sf_dir: str, probe_type: str = "purchase",
         eid = g["event_id"].to_numpy(zero_copy_only=False)
         is_ref = np.asarray(g["event_type"].to_numpy(zero_copy_only=False)
                             == ref_type)
-        pid_parts, rid_parts, valid_parts = [], [], []
-        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
-        ends = np.r_[starts[1:], len(uid)]
-        for s_, e_ in zip(starts, ends):
-            ref = is_ref[s_:e_]
-            p_idx = np.flatnonzero(~ref) + s_
-            if len(p_idx) == 0:
-                continue
-            r_idx = np.flatnonzero(ref) + s_
-            # rows are (ts, event_id)-sorted, so searchsorted-right lands
-            # after ALL refs with ts <= probe ts; -1 = the max-(ts, id) one
-            pos = np.searchsorted(ts[r_idx], ts[p_idx], side="right") - 1
-            # vectorized emission: gather the matched ref row per probe
-            # (clamped for probes with no prior ref, masked to null below)
-            pid_parts.append(p_idx)
-            valid_parts.append(pos >= 0)
-            rid_parts.append(r_idx[np.maximum(pos, 0)] if len(r_idx)
-                             else np.zeros(len(p_idx), dtype=np.int64))
-        if pid_parts:
-            P = np.concatenate(pid_parts)
-            R = np.concatenate(rid_parts)
-            V = np.concatenate(valid_parts)
-        else:
-            P = R = np.empty(0, dtype=np.int64)
-            V = np.empty(0, dtype=bool)
+        P = np.flatnonzero(~is_ref)
+        r_idx = np.flatnonzero(is_ref)
+        # composite (user, ts) key: ONE part-wide searchsorted; refs with
+        # equal key (ts ties) sort by event_id, so pos-1 is the max-(ts,
+        # id) ref — same tie-break as the oracle. pos-1 can cross into the
+        # PREVIOUS user's band (probe's user has no prior ref), hence the
+        # same-user validity mask.
+        key = _user_ts_keys(uid, ts, 0)
+        if len(P) == 0 or len(r_idx) == 0:
+            R = np.zeros(len(P), dtype=np.int64)
+            V = np.zeros(len(P), dtype=bool)
+        elif key is not None:
+            pos = np.searchsorted(key[r_idx], key[P], side="right") - 1
+            R = r_idx[np.maximum(pos, 0)]
+            V = (pos >= 0) & (uid[R] == uid[P])
+        else:  # int64-overflow fallback: per-user segment loop
+            pid_parts, rid_parts, valid_parts = [], [], []
+            starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+            ends = np.r_[starts[1:], len(uid)]
+            for s_, e_ in zip(starts, ends):
+                ref = is_ref[s_:e_]
+                p_idx = np.flatnonzero(~ref) + s_
+                if len(p_idx) == 0:
+                    continue
+                ri = np.flatnonzero(ref) + s_
+                # rows are (ts, event_id)-sorted, so searchsorted-right
+                # lands after ALL refs with ts <= probe ts; -1 = the
+                # max-(ts, id) one
+                pos = np.searchsorted(ts[ri], ts[p_idx], side="right") - 1
+                pid_parts.append(p_idx)
+                valid_parts.append(pos >= 0)
+                rid_parts.append(ri[np.maximum(pos, 0)] if len(ri)
+                                 else np.zeros(len(p_idx), dtype=np.int64))
+            if pid_parts:
+                P = np.concatenate(pid_parts)
+                R = np.concatenate(rid_parts)
+                V = np.concatenate(valid_parts)
+            else:
+                P = R = np.empty(0, dtype=np.int64)
+                V = np.empty(0, dtype=bool)
         null_mask = ~V
         return pa.table(
             {
@@ -656,7 +711,11 @@ def source_reclassify(sf_dir: str):
 
     Vectorized trick: precedence rank is prefixed onto the source string
     (rank '0'..'3' + '|' + source), so the per-key argmax is a plain MAX
-    aggregate — no per-group Python."""
+    aggregate — no per-group Python. Both per-batch kernels are pure
+    Arrow: the rescan remap is a 3-way ``pc.if_else`` chain and the rank
+    prefix is built once per DISTINCT source (dictionary-encode, prefix
+    the tiny dictionary, ``pc.take`` back out) — no per-row Python on the
+    corpus-sized relation."""
     from ray.data.aggregate import Max
 
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
@@ -664,21 +723,29 @@ def source_reclassify(sf_dir: str):
     def rescanned(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         mod = ids % 5
-        src = np.asarray(batch["source"].to_pylist(), dtype=object).copy()
-        src[mod == 0] = "top"
-        src[mod == 1] = "hot"
-        src[mod == 2] = "new"  # mod 3/4 keep the original source (no-op path)
-        return pa.table({"doc_id": batch["doc_id"],
-                         "source": pa.array(src.tolist(), pa.string())})
+        src = pc.if_else(
+            pa.array(mod == 0), pa.scalar("top", pa.string()),
+            pc.if_else(
+                pa.array(mod == 1), pa.scalar("hot", pa.string()),
+                pc.if_else(pa.array(mod == 2), pa.scalar("new", pa.string()),
+                           # mod 3/4 keep the original source (no-op path)
+                           batch["source"])))
+        return pa.table({"doc_id": batch["doc_id"], "source": src})
 
     both = ds.union(ds.map_batches(rescanned, batch_format="pyarrow",
                                    zero_copy_batch=True))
 
     def ranked(batch: pa.Table) -> pa.Table:
-        src = batch["source"].to_pylist()
-        r = [_SOURCE_RANK.get(s, "0") + "|" + s for s in src]
+        arr = batch["source"].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):  # pyarrow version portability
+            arr = (arr.chunk(0) if arr.num_chunks
+                   else pa.array([], pa.string()))
+        enc = arr.dictionary_encode()
+        vals = enc.dictionary.to_pylist()  # distinct sources: tiny
+        mapped = pa.array([_SOURCE_RANK.get(s, "0") + "|" + s for s in vals],
+                          pa.string())
         return pa.table({"doc_id": batch["doc_id"],
-                         "r": pa.array(r, pa.string())})
+                         "r": pc.take(mapped, enc.indices)})
 
     agg = both.map_batches(ranked, batch_format="pyarrow",
                            zero_copy_batch=True).groupby("doc_id").aggregate(
@@ -773,25 +840,42 @@ def _candidate_pairs_ds(bands_ds, max_block: int = 256, n_parts: int = 16):  # n
     surfacing in several bands of one part collapses here; cross-part
     duplicates collapse inside the verification join — no driver set
     anywhere). Grouping by raw band_key would create one group per doc-band
-    (millions of singleton dispatches)."""
+    (millions of singleton dispatches).
+
+    Pair emission is the flagship scorer's shape (scoring_stage.py
+    make_part_scorer): cached triu index templates per run length, one
+    np.unique pass for the in-part dedup + deterministic ordering — no
+    per-pair Python on the hot path."""
 
     def pairs_in_part(group: pa.Table) -> pa.Table:
         g = group.sort_by([("band_key", "ascending"), ("doc_id", "ascending")])
         bk = g["band_key"].to_numpy(zero_copy_only=False)
-        ids_all = g["doc_id"].to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
-        ends = np.r_[starts[1:], len(bk)]
-        pairs = set()
-        for s_, e_ in zip(starts, ends):
-            if e_ - s_ < 2:
-                continue
-            ids = sorted(set(ids_all[s_:e_].tolist()))[:max_block]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    pairs.add((ids[i], ids[j]))
-        out = sorted(pairs)
-        return pa.table({"a": pa.array([p[0] for p in out], pa.int64()),
-                         "b": pa.array([p[1] for p in out], pa.int64())})
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        if len(bk):
+            # defensive adjacent dedup of (band_key, doc_id) repeats
+            keep = np.r_[True, (bk[1:] != bk[:-1]) | (ids[1:] != ids[:-1])]
+            bk, ids = bk[keep], ids[keep]
+        starts = (np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+                  if len(bk) else np.array([], dtype=np.int64))
+        lens = np.minimum(np.r_[starts[1:], len(bk)] - starts, max_block)
+        multi = lens >= 2  # hot runs capped at max_block (first = min ids)
+        starts, lens = starts[multi], lens[multi]
+        if len(starts) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        tmpl: dict[int, tuple] = {}
+        a_parts, b_parts = [], []
+        for s_, L in zip(starts.tolist(), lens.tolist()):
+            t = tmpl.get(L)
+            if t is None:
+                t = np.triu_indices(L, k=1)
+                tmpl[L] = t
+            a_parts.append(ids[s_ + t[0]])
+            b_parts.append(ids[s_ + t[1]])
+        ab = np.unique(np.stack([np.concatenate(a_parts),
+                                 np.concatenate(b_parts)], axis=1), axis=0)
+        return pa.table({"a": pa.array(ab[:, 0], pa.int64()),
+                         "b": pa.array(ab[:, 1], pa.int64())})
 
     from . import fast_shuffle
 
@@ -952,45 +1036,86 @@ def simhash_dedup_clusters(sf_dir: str, max_hamming: int = 3,
                            max_block: int = 256):
     """SimHash near-dup clusters: 16-bit-band blocking + in-group Hamming
     verification (no text fetch needed) + union-find over VERIFIED edges
-    only (edges ≪ corpus; the accepted centralized closure step). Hot bands
-    are scored in max_block shards — recall recovered via the other
-    N_BANDS-1 bands, same skew rule as the flagship scorer."""
+    only (edges ≪ corpus; the accepted centralized closure step).
+
+    Skew rule: band members are first deduped to ONE REPRESENTATIVE per
+    DISTINCT sketch (min doc_id), with star edges rep→member inside each
+    sketch group (Hamming 0 ≤ max_hamming always, so closure equality is
+    exact) — a boilerplate/empty-text blowup of identical sketches costs
+    O(members), never O(members²), and cannot split across shards. Runs
+    with > max_block DISTINCT sketches are then scored in max_block shards
+    whose offsets are STAGGERED per band (first shard shortened by
+    band_index·max_block/N_BANDS): reps sort identically in every band
+    (full-simhash order), so without the stagger the shard boundaries
+    would coincide across all N_BANDS bands and a boundary-straddling pair
+    would be lost everywhere. With it, a near pair (Hamming ≤ max_hamming
+    ⇒ adjacent-ish in simhash sort order) split in one band is interior in
+    another. Recall is exact for pairs within max_block ranks of each
+    other in the per-run sketch order; the sf-scale oracle (brute-force
+    O(n²) Hamming + recursive-CTE closure) checks the whole chain."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_parts = _n_parts(_table_rows(sf_dir, "documents"))
     rows = ds.map_batches(
         _SimhashBander, fn_constructor_kwargs={"n_parts": n_parts},
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=_pool_size(_table_rows(sf_dir, "documents")))
+    n_bands = _SimhashBander.N_BANDS
 
     def pairs_in_part(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("band_key", "ascending"), ("doc_id", "ascending")])
+        g = group.sort_by([("band_key", "ascending"),
+                           ("simhash", "ascending"), ("doc_id", "ascending")])
         bk = g["band_key"].to_numpy(zero_copy_only=False)
-        ids_all = g["doc_id"].to_numpy(zero_copy_only=False)
-        sims_all = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
-        ends = np.r_[starts[1:], len(bk)]
-        pairs = set()
-        for s_, e_ in zip(starts, ends):
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        sims = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(bk) == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        run_first = np.r_[True, bk[1:] != bk[:-1]]
+        # one rep per distinct (run, sketch): first row = min doc_id
+        rep = np.r_[True, sims[1:] != sims[:-1]] | run_first
+        # star edges rep→member inside each sketch group (vectorized: the
+        # governing rep of row i is the latest rep index ≤ i)
+        last_rep = np.maximum.accumulate(
+            np.where(rep, np.arange(len(rep)), -1))
+        nonrep = ~rep
+        star_a = ids[last_rep[nonrep]]
+        star_b = ids[nonrep]
+        # rep-compressed run scan
+        rids = ids[rep]
+        rsims = sims[rep]
+        rrun = np.cumsum(run_first)[rep]
+        starts = np.flatnonzero(np.r_[True, rrun[1:] != rrun[:-1]])
+        ends = np.r_[starts[1:], len(rids)]
+        band_idx = (bk[rep][starts] >> np.uint64(56)).astype(np.int64)
+        pa_list, pb_list = [star_a], [star_b]
+        for s_, e_, bi in zip(starts.tolist(), ends.tolist(),
+                              band_idx.tolist()):
             if e_ - s_ < 2:
                 continue
-            first: dict[int, int] = {}
-            for k in range(s_, e_):
-                first.setdefault(int(ids_all[k]), k)
-            uniq = sorted(first.items())
-            for off in range(0, len(uniq), max_block):
-                shard = uniq[off:off + max_block]
-                if len(shard) < 2:
-                    continue
-                sub = np.array([sims_all[k] for _, k in shard], dtype=np.uint64)
-                ham = hamming64_matrix(sub, sub)
-                ai, bi = np.nonzero(np.triu(ham <= max_hamming, k=1))
-                pairs.update((shard[i][0], shard[j][0])
-                             for i, j in zip(ai, bi))
-        out = sorted(pairs)
+            stagger = (bi * max_block) // n_bands
+            off = s_
+            first_len = max_block - stagger
+            while off < e_:
+                m = min(first_len if off == s_ else max_block, e_ - off)
+                if m >= 2:
+                    sub = rsims[off:off + m]
+                    ham = hamming64_matrix(sub, sub)
+                    ai, bi_ = np.nonzero(np.triu(ham <= max_hamming, k=1))
+                    if len(ai):
+                        x = rids[off + ai]
+                        y = rids[off + bi_]
+                        pa_list.append(np.minimum(x, y))
+                        pb_list.append(np.maximum(x, y))
+                off += m if m >= 2 else 1
+        a = np.concatenate(pa_list)
+        b = np.concatenate(pb_list)
+        if len(a):
+            ab = np.unique(np.stack([a, b], axis=1), axis=0)
+            a, b = ab[:, 0], ab[:, 1]
         return pa.table(
             {
-                "id_a": pa.array([p[0] for p in out], pa.int64()),
-                "id_b": pa.array([p[1] for p in out], pa.int64()),
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
             }
         )
 

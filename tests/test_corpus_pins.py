@@ -72,3 +72,30 @@ def test_part_count_invariance(ray_session, monkeypatch):
         results[p] = run_all()
     for key in results[5]:
         pd.testing.assert_frame_equal(results[5][key], results[17][key])
+
+
+def test_simhash_identical_sketch_blowup(ray_session, tmp_path):
+    """Round-3 ADVICE regression: >max_block (256) docs with IDENTICAL
+    simhash (boilerplate corpus) used to shard with coinciding boundaries
+    across all 4 bands, splitting one true cluster. The rep-dedup-by-sketch
+    rule must keep the whole family in ONE cluster at any size, and must
+    not merge distinct families."""
+    import pyarrow as pa
+
+    from repostcheckerbot_ray.pipelines import corpus_ops
+
+    n_a, n_b = 600, 300  # both far above max_block
+    texts = (["the same boilerplate text repeated verbatim"] * n_a
+             + ["a completely different second family of text"] * n_b)
+    t = pa.table({
+        "doc_id": pa.array(range(n_a + n_b), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = corpus_ops.simhash_dedup_clusters(str(d)).to_pandas()
+    cl = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert all(cl[i] == 0 for i in range(n_a)), "family A split"
+    assert all(cl[i] == n_a for i in range(n_a, n_a + n_b)), "family B split"
