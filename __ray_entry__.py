@@ -24,6 +24,18 @@ from repostcheckerbot_ray.pipelines import corpus_ops, embedding_ops
 _Q_IDS = "0, 1, 2, 3"
 _SHIFT = corpus_ops.COPY_SHIFT
 
+# SQL mirrors of the B7 whitespace canonicalizer and B2 sentinel predicate,
+# derived from the SAME constants the engine uses (functions.textnorm) so
+# the repost_exact_edges oracle cannot drift from the fingerprint dispatch.
+from repostcheckerbot_ray.functions.textnorm import (  # noqa: E402
+    TEXT_SENTINELS,
+    _WHITESPACE_CODEPOINTS,
+)
+
+_WS_RE = "[" + "".join(f"\\x{{{c:x}}}" for c in _WHITESPACE_CODEPOINTS) + "]"
+_SENTINELS_SQL = ", ".join(
+    "'" + s.replace("'", "''") + "'" for s in sorted(TEXT_SENTINELS))
+
 # Brute-force O(n²) token-trigram Jaccard ≥ 0.8 pair set (shared by the
 # ngram_jaccard_pairs and minhash_dedup_clusters oracles). Mirrors
 # corpus_ops._shingle_set exactly: lowercase, whitespace-split, strict
@@ -103,16 +115,18 @@ def _flagship(sf_dir: str) -> dict:
     return run_repost_pipeline(f"{d}/pages", f"/tmp/rcb_out_{tag}", RepostConfig())
 
 
-def entry() -> Any:
-    """Flagship pipeline over sf0.001 `documents` adapted to the pages
-    schema (url/warc_ts/html/text/lang) — returns the clusters Dataset."""
+def _docs_as_pages(sf_dir: str, with_copies: bool = False):
+    """`documents` adapted to the pages schema (url/warc_ts/html/text/lang):
+    url = 'doc://' || doc_id, warc_ts = epoch + doc_id minutes, html = b''.
+    ``with_copies`` unions an id-shifted EXACT copy (corpus_ops.with_copies
+    semantics) so the corpus carries SQL-predictable exact duplicates."""
     import pyarrow.compute as pc
-    import ray.data as rd
 
-    from repostcheckerbot_ray.pipelines.repost import RepostConfig, run_repost_pipeline
+    from repostcheckerbot_ray.pipelines.corpus_ops import _read, with_copies as _wc
 
-    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
-                           columns=["doc_id", "text", "lang"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    if with_copies:
+        docs = _wc(docs)
 
     def to_pages(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"]
@@ -131,10 +145,42 @@ def entry() -> Any:
             }
         )
 
-    pages = docs.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
+    return docs.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def entry() -> Any:
+    """Flagship pipeline over sf0.001 `documents` adapted to the pages
+    schema (url/warc_ts/html/text/lang) — returns the clusters Dataset."""
+    from repostcheckerbot_ray.pipelines.repost import RepostConfig, run_repost_pipeline
+
+    pages = _docs_as_pages("/root/testdata/sf0.001")
     res = run_repost_pipeline(pages, "/tmp/rcb_entry_out", RepostConfig(),
                               write_outputs=False)
     return res["clusters"]
+
+
+def _repost_exact_edges(sf_dir: str) -> Any:
+    """The flagship's EXACT-match edge relation (D2/F4) over `documents` ∪
+    id-shifted exact copy adapted to pages — the SQL-expressible slice of
+    the edge family: per duplicated content key, star edges from the hub
+    (min url) to every other member, score 100 (reference semantics
+    /root/reference/database.py:366-388: new post linked to the stored
+    exact match). Runs the REAL pipeline (fingerprint dispatch → band
+    exchange → star edges → D4 dedup) and filters kind='exact'; the DuckDB
+    oracle independently rebuilds the content-key grouping (whitespace
+    canonicalization B7 + sentinel dispatch B2 mirrored in SQL)."""
+    import pyarrow.compute as pc
+
+    from repostcheckerbot_ray.pipelines.repost import RepostConfig, run_repost_pipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    pages = _docs_as_pages(sf_dir, with_copies=True)
+    res = run_repost_pipeline(pages, f"/tmp/rcb_exact_edges_{tag}",
+                              RepostConfig(), write_outputs=False)
+    return res["edges"].map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "exact"))
+                   .select(["url_a", "url_b", "score"]),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -176,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": lambda sf: embedding_ops.knn_lsh(sf),
         "repost_clusters": lambda sf: _flagship(sf)["clusters"],
         "repost_edges": lambda sf: _flagship(sf)["edges"],
+        "repost_exact_edges": _repost_exact_edges,       # D2/F4, SQL-oracled
         "repost_delta_clusters": _repost_delta,                  # A2/§2.G
         "media_features": _media_features,
     }
@@ -247,7 +294,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id,"
             "  LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id "
             "FROM documents d LEFT JOIN reach r ON r.src = d.doc_id "
-            "GROUP BY d.doc_id"
+            "GROUP BY d.doc_id "
+            # corpus guard: the sims VALUES-CTE was computed from
+            # GRAFT_ORACLE_SF_DIR at SQL-gen time; if the harness runs the
+            # paired query at a DIFFERENT sf, the doc_id sets diverge and
+            # this poison row makes the compare FAIL LOUDLY instead of
+            # silently joining the wrong corpus
+            "UNION ALL SELECT -1 AS doc_id, -1 AS cluster_id WHERE "
+            "(SELECT COUNT(*) FROM documents) <> (SELECT COUNT(*) FROM sims)"
+            " OR EXISTS (SELECT 1 FROM documents d LEFT JOIN sims s"
+            "            ON s.doc_id = d.doc_id WHERE s.doc_id IS NULL)"
         )
     out.update({
         "exact_dedup_by_key": (
@@ -361,6 +417,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id FROM documents d LEFT JOIN reach r "
             "ON r.src = d.doc_id GROUP BY d.doc_id "
             "HAVING LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) = d.doc_id"
+        ),
+        # flagship exact-edge slice: content key = whitespace-stripped text
+        # for usable text (B7), else the url-prefixed fallback key (the
+        # fingerprint dispatch's 'url' modality, fingerprint_stage.py) —
+        # the CASE mirrors is_valid_text + canonicalize exactly (constants
+        # imported from textnorm above). Hub = min url per multi-member
+        # content group; members link to the hub at score 100 (F4).
+        "repost_exact_edges": (
+            f"WITH all_docs AS (SELECT doc_id, text FROM documents "
+            f"UNION ALL SELECT doc_id + {_SHIFT}, text FROM documents),"
+            "c AS ("
+            "  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,"
+            f"    CASE WHEN text IN ({_SENTINELS_SQL})"
+            "      THEN 'url:doc://' || CAST(doc_id AS VARCHAR)"
+            f"      ELSE regexp_replace(text, '{_WS_RE}', '', 'g') END AS key"
+            "  FROM all_docs),"
+            "g AS (SELECT key, MIN(url) AS hub FROM c"
+            "      GROUP BY key HAVING COUNT(*) > 1) "
+            "SELECT g.hub AS url_a, c.url AS url_b,"
+            "  CAST(100 AS DOUBLE) AS score "
+            "FROM g JOIN c ON c.key = g.key AND c.url <> g.hub"
         ),
         "knn_cosine": (
             "SELECT query_id, neighbor_id FROM ("

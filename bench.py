@@ -57,6 +57,18 @@ def run_bench() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # Ray 2.49 logs a schema-mismatch WARNING for every EMPTY partition a
+    # sort/hash exchange produces (its internal empty block has a
+    # zero-column schema; grouped map UDFs never see it and every UDF here
+    # returns a fully typed table even for 0 rows). Cosmetic, but it buries
+    # the bench tail — silence just that logger. The companion 'Failed to
+    # hash the schemas' warning was real (pandas metadata in the testdata
+    # parquet) and is fixed at the reads (corpus_ops._strip_schema_meta).
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from repostcheckerbot_ray.pipelines import corpus_ops, embedding_ops

@@ -68,10 +68,20 @@ def _n_parts(n_rows: int | None = None) -> int:
     return max(16, min(cap, n_rows // 4096))
 
 
+def _strip_schema_meta(t: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (zero-copy). Parquet written by pandas
+    embeds a 'pandas' JSON blob in the schema; pa.Schema with that blob is
+    UNHASHABLE, which knocks Ray's block-concat schema dedup off its
+    fast path and logs 'Failed to hash the schemas' once per reduce task.
+    Stripping once at the read keeps every downstream exchange clean."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
 def _read(sf_dir: str, table: str, columns: list[str]):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns).map_batches(
+        _strip_schema_meta, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def with_copies(ds, id_col: str = "doc_id", shift: int = COPY_SHIFT):  # noqa: ANN001

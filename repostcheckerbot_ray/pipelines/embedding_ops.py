@@ -28,7 +28,13 @@ DEFAULT_QUERY_IDS = (0, 1, 2, 3)
 def _read_embeddings(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from .corpus_ops import _strip_schema_meta
+
+    # metadata strip: see corpus_ops._strip_schema_meta (pandas-written
+    # parquet makes pa.Schema unhashable → per-reduce-task warnings + a
+    # slower schema-dedup path in every concat)
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+        _strip_schema_meta, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _batch_matrix(batch: pa.Table) -> np.ndarray:

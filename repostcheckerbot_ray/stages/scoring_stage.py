@@ -234,12 +234,25 @@ def dedup_edges(edges_ds, num_parts: int = 16, out_dir: str | None = None):  # n
     checkpointed stages): the caller materializes ONE exchange and gets the
     final edge sink for free instead of paying a separate write job +
     read-back."""
-    from ..functions.fingerprint import token_hash
-
     def add_pair_part(batch: pa.Table) -> pa.Table:
-        parts = [token_hash(a + "\x00" + b) % num_parts
-                 for a, b in zip(batch["url_a"].to_pylist(),
-                                 batch["url_b"].to_pylist())]
+        # vectorized string pair hash: siphash both url columns in C
+        # (pd.util.hash_array, categorize=False — factorize would collapse
+        # strings differing past an embedded NUL), then the same
+        # splitmix64 combine shape pair_join.pair_parts uses for integer
+        # keys. Internal balance knob only: any deterministic hash works,
+        # the in-group keep_max is global per pair regardless of mapping.
+        import pandas as pd
+
+        from ..functions.fingerprint import splitmix64
+
+        a = np.asarray(batch["url_a"].to_numpy(zero_copy_only=False),
+                       dtype=object)
+        b = np.asarray(batch["url_b"].to_numpy(zero_copy_only=False),
+                       dtype=object)
+        ha = pd.util.hash_array(a, categorize=False).astype(np.uint64)
+        hb = pd.util.hash_array(b, categorize=False).astype(np.uint64)
+        parts = ((splitmix64(ha ^ splitmix64(hb)) % np.uint64(num_parts))
+                 .astype(np.int32))
         if "part" in batch.column_names:
             batch = batch.drop_columns(["part"])
         return batch.append_column("pair_part", pa.array(parts, pa.int32()))
@@ -252,6 +265,9 @@ def dedup_edges(edges_ds, num_parts: int = 16, out_dir: str | None = None):  # n
         df = df.drop_duplicates(["url_a", "url_b"], keep="first")
         out = pa.Table.from_pandas(df.drop(columns=["pair_part"]),
                                    preserve_index=False)
+        # from_pandas attaches a 'pandas' schema blob that makes the schema
+        # unhashable downstream (see corpus_ops._strip_schema_meta)
+        out = out.replace_schema_metadata(None)
         if out_dir is not None:
             import os
 
