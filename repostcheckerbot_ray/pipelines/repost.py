@@ -207,11 +207,21 @@ def _checkpointed_stage(ds_builder, input_filter, ckpt: StageCheckpoint,
                                if written is not None else None)
             except Exception as e:
                 # fall back ONLY for the known Ray 2.49 hash-shuffle empty-
-                # input crash shapes — a deterministic UDF/write bug must
-                # surface immediately, not after a silent doubled re-run
-                msg = repr(e)
-                if not any(s in msg for s in (
-                        "sort key", "empty schema", "HashShuffle")):
+                # input crash message ("Invalid sort key column ... in
+                # <empty schema>") — a deterministic UDF/write bug must
+                # surface immediately, not after a silent doubled re-run.
+                # Matched against the exception MESSAGE chain, not repr():
+                # Ray wraps UDF errors as RayTaskError whose repr embeds
+                # the operator label, and a label like
+                # 'HashShuffleAggregator' must not trigger a retry.
+                msgs = []
+                cur: BaseException | None = e
+                while cur is not None and len(msgs) < 8:
+                    msgs.append(str(cur))
+                    cur = cur.__cause__ or cur.__context__
+                msg = " | ".join(msgs)
+                if not ("Invalid sort key column" in msg
+                        or "empty schema" in msg):
                     raise
                 import sys as _sys
 
@@ -765,6 +775,17 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
 # D6 provenance precedence (≙ the reference's Location upgrade when a
 # logged post reappears under a different scan, database.py:344-350; same
 # rank order as corpus_ops.source_reclassify): higher rank wins.
+#
+# DEFAULT-SETTINGS APPROXIMATION (documented per round-3 ADVICE): the
+# reference actually moves a re-seen post to whichever currently-scanned
+# Location has the LARGEST TTL window (database.py:344-350 compares the
+# per-location expiry times from sub_settings[1..3]); under the default
+# config those windows are ordered top > hot > new, so this fixed
+# never-downgrade rank is equivalent. A deployment that configures a
+# LONGER window for a lower scan (e.g. new > top) would need the rank
+# derived from cfg's per-location TTLs instead — this engine keeps the
+# single admission cutoff (RepostConfig.ttl_cutoff_us), so the fixed rank
+# is exact for every configuration it can express.
 _SOURCE_RANK = {"top": 3, "hot": 2, "new": 1}
 
 

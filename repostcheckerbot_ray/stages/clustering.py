@@ -141,6 +141,144 @@ def collect_components(edges_ds) -> dict:  # noqa: ANN001
     return components_from_edges(pairs)
 
 
+def _join_assigner_threshold() -> int:
+    """Edge count above which even the converged LABEL MAP stays off the
+    driver: the assigner becomes two part-keyed exchanges instead of a
+    broadcast dict (the rung SCALE.md documents past the distributed-CC
+    threshold). Default 50M edges ≈ up to 100M label entries — a multi-GB
+    Python dict is past what one node should hold or ship. Override with
+    RCB_JOIN_ASSIGNER_EDGES (tests pin equality at 0)."""
+    import os
+
+    return int(os.environ.get("RCB_JOIN_ASSIGNER_EDGES", "50000000"))
+
+
+def _assigner_parts() -> int:
+    from ..pipelines import cluster_cpus
+
+    return max(16, 2 * cluster_cpus())
+
+
+def assign_clusters_joined(fingerprints_ds, labels_ds, num_parts: int | None = None):  # noqa: ANN001
+    """Fully distributed assigner — no url→label broadcast anywhere.
+
+    Two part-keyed exchanges (the partitioned-hash-join shape pair_join
+    uses), each a padded union + groupby(part).map_groups:
+
+    1. **label join** (part = hash(url) % P): fingerprint rows meet label
+       rows in-group; unlabeled urls become singletons (cluster_id = own
+       url) — LEFT join semantics identical to the broadcast assigner.
+    2. **meta fold** (part = hash(cluster_id) % P): every member of a
+       cluster lands in ONE group, so the in-group per-cluster min(warc_ts)
+       / size ARE the global meta — cluster_size, is_original computed
+       without any driver map.
+
+    Output contract = make_cluster_assigner exactly (CLUSTERS_SCHEMA,
+    deterministic; pinned equal at the switch by tests/test_scale_paths.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    P = num_parts or _assigner_parts()
+
+    def _hash_parts(obj_vals) -> np.ndarray:  # noqa: ANN001
+        h = pd.util.hash_array(np.asarray(obj_vals, dtype=object),
+                               categorize=False)
+        return (h % np.uint64(P)).astype(np.int32)
+
+    def tag_fp(batch: pa.Table) -> pa.Table:
+        urls = batch["url"]
+        n = batch.num_rows
+        return pa.table({
+            "part": pa.array(_hash_parts(urls.to_numpy(zero_copy_only=False)),
+                             pa.int32()),
+            "url": urls,
+            "warc_ts": batch["warc_ts"].cast(pa.int64()),
+            "cluster_id": pa.nulls(n, pa.string()),
+        })
+
+    def tag_lbl(batch: pa.Table) -> pa.Table:
+        urls = batch["url"]
+        n = batch.num_rows
+        return pa.table({
+            "part": pa.array(_hash_parts(urls.to_numpy(zero_copy_only=False)),
+                             pa.int32()),
+            "url": urls,
+            "warc_ts": pa.nulls(n, pa.int64()),
+            "cluster_id": batch["cluster_id"],
+        })
+
+    both = fingerprints_ds.select_columns(["url", "warc_ts"]).map_batches(
+        tag_fp, batch_format="pyarrow", zero_copy_batch=True,
+    ).union(labels_ds.select_columns(["url", "cluster_id"]).map_batches(
+        tag_lbl, batch_format="pyarrow", zero_copy_batch=True))
+
+    def join_group(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        lbl = df["cluster_id"].notna()
+        l = df.loc[lbl, ["url", "cluster_id"]].drop_duplicates("url")
+        f = df.loc[~lbl, ["url", "warc_ts"]]
+        m = f.merge(l, on="url", how="left")
+        cid = m["cluster_id"].fillna(m["url"])
+        return pa.table({
+            "part": pa.array(_hash_parts(cid.to_numpy()), pa.int32()),
+            "url": pa.array(m["url"], pa.string()),
+            "warc_ts": pa.array(m["warc_ts"].to_numpy(), pa.int64()),
+            "cluster_id": pa.array(cid, pa.string()),
+        })
+
+    members = both.groupby("part").map_groups(join_group,
+                                              batch_format="pyarrow")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("cluster_id")["warc_ts"]
+        min_ts = g.transform("min")
+        size = g.transform("size")
+        return pa.table(
+            {
+                "url": pa.array(df["url"], pa.string()),
+                "cluster_id": pa.array(df["cluster_id"], pa.string()),
+                "cluster_size": pa.array(size.to_numpy(np.int64), pa.int64()),
+                "is_original": pa.array(
+                    (df["warc_ts"].to_numpy() == min_ts.to_numpy())),
+                "warc_ts": pa.array(df["warc_ts"].to_numpy(),
+                                    pa.int64()).cast(pa.timestamp("us")),
+            },
+            schema=CLUSTERS_SCHEMA,
+        )
+
+    return members.groupby("part").map_groups(finalize,
+                                              batch_format="pyarrow")
+
+
+def meta_topk_from_clusters(clusters_ds, k: int = 20) -> dict:  # noqa: ANN001
+    """{cluster_id: (min_ts, size)} for the k largest multi-member clusters,
+    computed FROM the clusters relation (one cluster-sized aggregate over
+    multi-member rows only) — the report path's meta source when the full
+    label map never exists driver-side (join-assigner rung)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    multi = clusters_ds.map_batches(
+        lambda t: t.filter(pc.greater(t["cluster_size"], 1))
+                   .select(["cluster_id", "warc_ts"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    agg = multi.groupby("cluster_id").aggregate(
+        Min("warc_ts", alias_name="min_ts"), Count(alias_name="n"))
+    meta: dict = {}
+    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        # normalize to µs: the aggregate may come back timestamp[ns]
+        ts_us = b["min_ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+        for cid, mt, n in zip(b["cluster_id"].to_pylist(), ts_us,
+                              b["n"].to_pylist()):
+            meta[cid] = (mt, n)
+    if len(meta) > k:
+        keep = sorted(meta.items(), key=lambda kv: (-kv[1][1], kv[0]))[:k]
+        meta = dict(keep)
+    return meta
+
+
 def make_cluster_assigner(comp_ref, meta_ref):  # noqa: ANN001
     """Broadcast cluster map (ray.put once, fetched from the local object
     store per batch) applied as a stateless task; rows not in any edge
@@ -243,8 +381,39 @@ def assign_clusters_with_meta(fingerprints_ds, edges_ds, edges_path: str | None 
     """Like :func:`assign_clusters`, but also returns (comp, meta) so the
     caller (e.g. the report sink) can pick top clusters driver-side without
     re-aggregating the clusters relation. ``edges_path`` (a just-written
-    local edge dir) lets component collection skip the Ray job."""
+    local edge dir) lets component collection skip the Ray job.
+
+    Above ``_join_assigner_threshold()`` edges, NOTHING corpus- or
+    label-sized touches the driver: closure runs distributed
+    (label_propagation_components) and assignment is the part-keyed join
+    (:func:`assign_clusters_joined`). On that rung the returned ``comp``
+    is EMPTY (the map never exists centrally) and ``meta`` holds only the
+    top-k multi-member clusters (what the report sink needs)."""
     import ray
+
+    # threshold check only when the edge relation is an on-disk dir
+    # (parquet metadata = free row count; the production write path).
+    # Dataset-input callers keep the streaming path — its own >5M-edge
+    # restart already moves the CLOSURE off the driver, and counting a
+    # lazy edge Dataset here would execute its DAG twice.
+    if edges_path is not None:
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(_glob.glob(_os.path.join(edges_path, "*.parquet")))
+        n_edges = sum(_pq.read_metadata(f).num_rows for f in files)
+        if n_edges > _join_assigner_threshold():
+            import ray.data as rd
+
+            from ..state.union_find import label_propagation_components
+
+            labels = label_propagation_components(
+                rd.read_parquet(files, columns=["url_a", "url_b"]))
+            ds = assign_clusters_joined(fingerprints_ds, labels)
+            meta = meta_topk_from_clusters(ds)
+            return ds, {}, meta
 
     comp = collect_components(edges_path or edges_ds)
     meta = cluster_meta(fingerprints_ds, comp)

@@ -199,3 +199,81 @@ def test_collect_components_auto_switch(ray_session, tmp_path, monkeypatch):
         # either way: the assigner treats absent and self the same)
         for k, v in want.items():
             assert got.get(k, k) == v
+
+
+def test_join_assigner_matches_broadcast(ray_session, tmp_path, monkeypatch):
+    """Equality pin at the join-assigner switch (the no-broadcast rung):
+    forcing RCB_JOIN_ASSIGNER_EDGES=0 must produce EXACTLY the clusters
+    relation the broadcast assigner builds — schema, labels, sizes,
+    is_original flags — and a meta map that agrees on every top-k entry."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from repostcheckerbot_ray.stages.clustering import assign_clusters_with_meta
+
+    # 120 urls; clusters: {u0..u4} chain, {u10,u11}, ts ties inside u0's
+    # cluster exercise the multi-original case
+    n = 120
+    base = 1_700_000_000_000_000
+    ts = [base + (i % 7) * 60_000_000 for i in range(n)]
+    ts[1] = ts[0]  # tie with the min member
+    fps = pa.table({
+        "url": pa.array([f"u{i}" for i in range(n)], pa.string()),
+        "warc_ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+    })
+    edges = pa.table({
+        "url_a": pa.array(["u0", "u1", "u2", "u3", "u10"], pa.string()),
+        "url_b": pa.array(["u1", "u2", "u3", "u4", "u11"], pa.string()),
+    })
+    edir = tmp_path / "edges"
+    edir.mkdir()
+    pq.write_table(edges, str(edir / "part-0.parquet"))
+
+    def run() -> tuple:
+        ds, comp, meta = assign_clusters_with_meta(
+            rd.from_arrow(fps), None, edges_path=str(edir))
+        df = ds.to_pandas().sort_values("url").reset_index(drop=True)
+        return df, meta
+
+    want_df, want_meta = run()
+    monkeypatch.setenv("RCB_JOIN_ASSIGNER_EDGES", "0")
+    got_df, got_meta = run()
+    pd.testing.assert_frame_equal(got_df, want_df)
+    # joined-path meta is top-k-only; every entry must agree with the
+    # broadcast path's full meta
+    assert got_meta
+    for cid, v in got_meta.items():
+        assert want_meta[cid] == v
+
+
+def test_flagship_unchanged_under_join_assigner(ray_session, tmp_path, monkeypatch):
+    """Full-pipeline pin: with both scale rungs forced on (distributed CC
+    + join assigner), the flagship clusters/edges relations are IDENTICAL
+    to the default driver-union-find run."""
+    import pandas as pd
+
+    from repostcheckerbot_ray.fixtures import write_fixture
+    from repostcheckerbot_ray.pipelines.repost import (
+        RepostConfig,
+        run_repost_pipeline,
+    )
+
+    d = tmp_path / "corpus"
+    write_fixture(str(d))
+
+    def run(tag: str) -> tuple:
+        res = run_repost_pipeline(f"{d}/pages", str(tmp_path / f"out_{tag}"),
+                                  RepostConfig(num_parts=4))
+        cl = (res["clusters"].to_pandas()
+              .sort_values("url").reset_index(drop=True))
+        ed = (res["edges"].to_pandas()
+              .sort_values(["url_a", "url_b"]).reset_index(drop=True))
+        return cl, ed
+
+    want_cl, want_ed = run("default")
+    monkeypatch.setenv("RCB_DISTRIBUTED_CC_EDGES", "0")
+    monkeypatch.setenv("RCB_JOIN_ASSIGNER_EDGES", "0")
+    got_cl, got_ed = run("joined")
+    pd.testing.assert_frame_equal(got_cl, want_cl)
+    pd.testing.assert_frame_equal(got_ed, want_ed)
