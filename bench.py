@@ -63,7 +63,7 @@ def run_bench() -> dict:
     # returns a fully typed table even for 0 rows). Cosmetic, but it buries
     # the bench tail — silence just that logger. The companion 'Failed to
     # hash the schemas' warning was real (pandas metadata in the testdata
-    # parquet) and is fixed at the reads (corpus_ops._strip_schema_meta).
+    # parquet) and is fixed at the reads (corpus_ops.bare_schema).
     import logging
 
     logging.getLogger(

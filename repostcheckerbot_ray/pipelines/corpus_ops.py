@@ -69,19 +69,30 @@ def _n_parts(n_rows: int | None = None) -> int:
 
 
 def _strip_schema_meta(t: pa.Table) -> pa.Table:
-    """Drop schema-level metadata (zero-copy). Parquet written by pandas
-    embeds a 'pandas' JSON blob in the schema; pa.Schema with that blob is
-    UNHASHABLE, which knocks Ray's block-concat schema dedup off its
-    fast path and logs 'Failed to hash the schemas' once per reduce task.
-    Stripping once at the read keeps every downstream exchange clean."""
+    """Drop schema-level metadata (zero-copy); see :func:`bare_schema`."""
     return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def bare_schema(path: str, columns: list[str] | None = None) -> "pa.Schema":
+    """Metadata-free read schema for a parquet file. Parquet written by
+    pandas embeds a 'pandas' JSON blob in the schema; pa.Schema with that
+    blob is UNHASHABLE, which knocks Ray's block-concat schema dedup off
+    its fast path and logs 'Failed to hash the schemas' once per reduce
+    task. Passing an explicit bare schema to read_parquet drops the blob
+    at the source — no extra operator, limit pushdown intact."""
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(path)
+    names = columns if columns is not None else sch.names
+    return pa.schema([sch.field(n).remove_metadata() for n in names])
 
 
 def _read(sf_dir: str, table: str, columns: list[str]):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns).map_batches(
-        _strip_schema_meta, batch_format="pyarrow", zero_copy_batch=True)
+    path = f"{sf_dir}/{table}.parquet"
+    return rd.read_parquet(path, columns=columns,
+                           schema=bare_schema(path, columns))
 
 
 def with_copies(ds, id_col: str = "doc_id", shift: int = COPY_SHIFT):  # noqa: ANN001

@@ -28,13 +28,14 @@ DEFAULT_QUERY_IDS = (0, 1, 2, 3)
 def _read_embeddings(sf_dir: str):
     import ray.data as rd
 
-    from .corpus_ops import _strip_schema_meta
+    from .corpus_ops import bare_schema
 
-    # metadata strip: see corpus_ops._strip_schema_meta (pandas-written
-    # parquet makes pa.Schema unhashable → per-reduce-task warnings + a
-    # slower schema-dedup path in every concat)
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
-        _strip_schema_meta, batch_format="pyarrow", zero_copy_batch=True)
+    # bare schema read: pandas-written parquet makes pa.Schema unhashable
+    # (per-reduce-task warnings + slower schema dedup in every concat);
+    # see corpus_ops.bare_schema. No extra operator — limit pushdown in
+    # _sample_matrix stays at the read.
+    path = f"{sf_dir}/embeddings.parquet"
+    return rd.read_parquet(path, schema=bare_schema(path))
 
 
 def _batch_matrix(batch: pa.Table) -> np.ndarray:
@@ -99,7 +100,7 @@ def knn_brute_force(sf_dir: str, k: int = 10, query_ids=DEFAULT_QUERY_IDS):  # n
         qm, qid_list = ray.get(q_ref)
         m = _normalize(_batch_matrix(batch))
         sims = qm @ m.T  # (n_queries, batch)
-        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         out_q, out_n, out_s = [], [], []
         kk = min(k + 1, sims.shape[1])  # +1 to survive self-match removal
         for qi in range(sims.shape[0]):
@@ -170,7 +171,7 @@ def knn_ivf(sf_dir: str, k: int = 10, query_ids=DEFAULT_QUERY_IDS,  # noqa: ANN0
         cm, qm, qid_list, probe_m = ray.get(ref)
         m = _normalize(_batch_matrix(batch))
         bucket = np.argmax(m @ cm.T, axis=1)  # (batch,)
-        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         out_q, out_n, out_s = [], [], []
         for qi in range(qm.shape[0]):
             mask = np.isin(bucket, probe_m[qi])
@@ -241,7 +242,7 @@ def knn_lsh(sf_dir: str, k: int = 10, query_ids=DEFAULT_QUERY_IDS,  # noqa: ANN0
         m = _normalize(_batch_matrix(batch))
         buckets = np.stack([((m @ pl[t]) > 0).astype(np.int64) @ w
                             for t in range(pl.shape[0])])  # (T, batch)
-        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         out_q, out_n, out_s = [], [], []
         for qi in range(qm.shape[0]):
             mask = np.zeros(m.shape[0], dtype=bool)
@@ -295,7 +296,7 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.99,
         order = pc.sort_indices(group["vec_id"])
         group = group.take(order)
         m = _normalize(_batch_matrix(group))
-        vids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        vids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(vids)
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []

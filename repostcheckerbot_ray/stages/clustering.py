@@ -61,12 +61,13 @@ CLUSTERS_SCHEMA = pa.schema(
 def _distributed_cc_threshold() -> int:
     """Edge count above which the closure COMPUTE moves off the driver
     (min-label propagation over keyed exchanges). Override with
-    RCB_DISTRIBUTED_CC_EDGES. Note the converged url→label map is still
-    streamed back into the broadcast dict the assigner uses — the
+    RCB_DISTRIBUTED_CC_EDGES. On THIS rung the converged url→label map
+    still streams back into the broadcast dict the assigner uses — the
     threshold protects the driver from the O(E·α) union work and the
-    edge-sized working set during closure; at the (later) scale where even
-    the LABEL MAP outgrows one node, the assigner itself must become a
-    keyed join (documented in SCALE.md), not a broadcast."""
+    edge-sized working set during closure. The next rung up
+    (_join_assigner_threshold, RCB_JOIN_ASSIGNER_EDGES) keeps even the
+    label map distributed: assign_clusters_joined replaces the broadcast
+    with part-keyed joins."""
     import os
 
     return int(os.environ.get("RCB_DISTRIBUTED_CC_EDGES", "5000000"))

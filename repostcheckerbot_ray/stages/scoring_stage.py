@@ -266,7 +266,7 @@ def dedup_edges(edges_ds, num_parts: int = 16, out_dir: str | None = None):  # n
         out = pa.Table.from_pandas(df.drop(columns=["pair_part"]),
                                    preserve_index=False)
         # from_pandas attaches a 'pandas' schema blob that makes the schema
-        # unhashable downstream (see corpus_ops._strip_schema_meta)
+        # unhashable downstream (see corpus_ops.bare_schema)
         out = out.replace_schema_metadata(None)
         if out_dir is not None:
             import os
