@@ -398,6 +398,21 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
         # (adjacent runs can coincidentally share a chash64)
         rep_mask = np.r_[True, ch64[1:] != ch64[:-1]]
         rep_mask[run_start] = True
+        # url code table: one lexicographic unique pass per part so pair
+        # normalization / dedup below run on int codes, not Python strings
+        urls_np = np.asarray(urls, dtype=object)
+        u_uniq, u_code = np.unique(urls_np, return_inverse=True)
+        u_code = u_code.astype(np.int64)
+        # exact sub-run boundaries on the FULL content_hash (ch64 fold
+        # collisions must stay separate sub-runs: a fold collision may only
+        # drop a text candidate, never mint a false score-100 edge); one
+        # vectorized object-compare pass replaces the per-row walk
+        ch_np = np.asarray(ch, dtype=object)
+        sub_break = np.empty(len(ch_np), dtype=bool)
+        if len(ch_np):
+            sub_break[0] = True
+            sub_break[1:] = ch_np[1:] != ch_np[:-1]
+            sub_break[run_start] = True
 
         tmpl: dict[int, tuple] = {}
 
@@ -409,7 +424,7 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
             return t
 
         tables = []
-        ea, eb = [], []                      # exact star edges
+        ea_idx, eb_idx = [], []              # exact star edge row indices
         ti_list, tj_list = [], []            # text candidate index pairs
         pi_list, pj_list = [], []            # payload index pairs
         salted = 0
@@ -421,21 +436,26 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
                 continue
             k = kinds[s_]
             if k == "e":
-                i = s_
-                while i < e_:
-                    j = i + 1
-                    while j < e_ and ch[j] == ch[i]:
-                        j += 1
-                    if j - i >= 2:  # urls already sorted within the sub-run
-                        if isnew[i]:  # new hub: full star (links everyone)
-                            ea.extend([urls[i]] * (j - i - 1))
-                            eb.extend(urls[i + 1:j])
-                        else:  # old hub: only link the NEW members to it
-                            for m in range(i + 1, j):
-                                if isnew[m]:
-                                    ea.append(urls[i])
-                                    eb.append(urls[m])
-                    i = j
+                # star edges per (run, content_hash) sub-run, vectorized:
+                # hub = first row (min url — sorted), members follow; in
+                # delta runs emit only pairs touching a new row (new hub →
+                # full star; old hub → new members only)
+                idx = np.arange(s_, e_, dtype=np.int64)
+                sstart = idx[sub_break[s_:e_]]
+                send = np.r_[sstart[1:], e_]
+                slen = send - sstart
+                good = slen >= 2
+                if good.any():
+                    hubs = np.repeat(sstart[good], slen[good] - 1)
+                    n_mem = int((slen[good] - 1).sum())
+                    off = np.cumsum(slen[good] - 1) - (slen[good] - 1)
+                    members = (np.repeat(sstart[good] + 1, slen[good] - 1)
+                               + (np.arange(n_mem) - np.repeat(off, slen[good] - 1)))
+                    if not all_new:
+                        keep = isnew[hubs] | isnew[members]
+                        hubs, members = hubs[keep], members[keep]
+                    ea_idx.append(hubs)
+                    eb_idx.append(members)
             elif k == "t":
                 # representative per content (64-bit fold) = first (min url)
                 # in the sorted run; a fold collision can only drop a
@@ -475,15 +495,18 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
                     if res.num_rows:
                         tables.append(res)
 
-        if ea:
-            tables.append(pa.table(
-                {
-                    "url_a": pa.array(ea, pa.string()),
-                    "url_b": pa.array(eb, pa.string()),
-                    "score": pa.array([100.0] * len(ea), pa.float64()),
-                    "kind": pa.array(["exact"] * len(ea), pa.string()),
-                }
-            ))
+        if ea_idx:
+            EA = np.concatenate(ea_idx)
+            EB = np.concatenate(eb_idx)
+            if len(EA):
+                tables.append(pa.table(
+                    {
+                        "url_a": pa.array(urls_np[EA], pa.string()),
+                        "url_b": pa.array(urls_np[EB], pa.string()),
+                        "score": pa.array([100.0] * len(EA), pa.float64()),
+                        "kind": pa.array(["exact"] * len(EA), pa.string()),
+                    }
+                ))
         out_a: list[str] = []
         out_b: list[str] = []
         if ti_list:
@@ -496,14 +519,17 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
             ub = 2.0 * np.minimum(la, lb) / tot
             keep = ((hm <= SIMHASH_PREFILTER_BITS) & (ub > min_ratio)
                     & (isnew[I] | isnew[J]))
-            pairs = set()
-            for i, j in zip(I[keep], J[keep]):
-                a, b = urls[i], urls[j]
-                pairs.add((a, b) if a < b else (b, a))
-            # in-part dedupe: the same pair surfaces in many band runs of
-            # this part — collapse before the verification exchange
-            out_a = [p[0] for p in sorted(pairs)]
-            out_b = [p[1] for p in sorted(pairs)]
+            # in-part dedupe on INT CODES (the same pair surfaces in many
+            # band runs of this part — collapse before the verification
+            # exchange): min/max-normalize the code pair, one np.unique
+            # over the packed key; unique order == lexicographic url order
+            # because u_uniq is sorted
+            ci, cj = u_code[I[keep]], u_code[J[keep]]
+            lo = np.minimum(ci, cj)
+            hi = np.maximum(ci, cj)
+            uk = np.unique(lo * np.int64(len(u_uniq)) + hi)
+            out_a = u_uniq[uk // len(u_uniq)].tolist()
+            out_b = u_uniq[uk % len(u_uniq)].tolist()
         if salted:
             # emitted even when the part has no text candidates: payload /
             # chunked hot bands salt too, and the contract is "never silent"
@@ -523,12 +549,12 @@ def make_part_scorer(thresh: float = DEFAULT_THRESHOLD,
             J = np.concatenate(pj_list)
             d = popcount64(ph[I] ^ ph[J]).astype(np.float64)
             keep = (d < thresh) & (isnew[I] | isnew[J])
-            out_a, out_b, sc = [], [], []
-            for i, j, dv in zip(I[keep], J[keep], d[keep]):
-                a, b = urls[i], urls[j]
-                out_a.append(a if a < b else b)
-                out_b.append(b if a < b else a)
-                sc.append(hamming_pct(dv, thresh))
+            ci, cj = u_code[I[keep]], u_code[J[keep]]
+            lo = np.minimum(ci, cj)
+            hi = np.maximum(ci, cj)
+            out_a = u_uniq[lo].tolist()
+            out_b = u_uniq[hi].tolist()
+            sc = [hamming_pct(dv, thresh) for dv in d[keep]]
             if out_a:
                 tables.append(pa.table(
                     {
