@@ -88,3 +88,45 @@ def test_temporal_handpicked_regressions(ray_session, tmp_path_factory):
                               "window_dedup_events")
         _check_against_oracle(rows, tmp_path_factory.mktemp("hp"),
                               "session_counts")
+
+
+def test_asof_range_overflow_fallback_matches_fast_path(
+        ray_session, tmp_path_factory, monkeypatch):
+    """The composite-key fast path and the per-user-loop fallback (taken
+    when n_users × ts-span would overflow int64) must agree exactly.
+    Forces the fallback by patching _user_ts_keys to return None."""
+    from repostcheckerbot_ray.pipelines import corpus_ops
+
+    rows = []
+    # 3 users, ts ties, same-ts probe/ref pairs, a user with no refs
+    for u in range(3):
+        for i in range(12):
+            ts = (i // 2) * 9 * 60 * 1_000_000  # pairs of equal timestamps
+            typ = ["click", "error", "purchase", "view"][(i + u) % 4]
+            rows.append((u, ts, typ))
+    d = tmp_path_factory.mktemp("fb")
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    import pyarrow.parquet as pq
+    pq.write_table(t, str(d / "events.parquet"))
+
+    def run_both(which):
+        fn = getattr(corpus_ops, which)
+        fast = fn(str(d)).to_pandas()
+        monkeypatch.setattr(corpus_ops, "_user_ts_keys",
+                            lambda uid, ts, pad: None)
+        slow = fn(str(d)).to_pandas()
+        monkeypatch.undo()
+        cols = sorted(fast.columns)
+        import pandas as pd
+        pd.testing.assert_frame_equal(
+            fast[cols].sort_values(cols).reset_index(drop=True),
+            slow[cols].sort_values(cols).reset_index(drop=True))
+        assert len(fast) > 0
+
+    run_both("asof_join_events")
+    run_both("range_join_events")
