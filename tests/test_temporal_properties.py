@@ -24,7 +24,7 @@ _EVENT = st.tuples(
     # comparisons straddle the 30-min debounce/session boundary often;
     # negative values exercise pre-1970 integer math
     st.integers(min_value=-10, max_value=10).map(lambda k: k * 13 * 60 * 1_000_000),
-    st.sampled_from(["click", "view"]),                     # event_type
+    st.sampled_from(["click", "view", "error", "purchase"]),  # event_type
 )
 
 
@@ -75,6 +75,22 @@ def test_window_dedup_matches_oracle(ray_session, tmp_path_factory, rows):
 def test_session_counts_matches_oracle(ray_session, tmp_path_factory, rows):
     _check_against_oracle(rows, tmp_path_factory.mktemp("sc"),
                           "session_counts")
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(_EVENT, min_size=1, max_size=60))
+def test_asof_join_matches_oracle(ray_session, tmp_path_factory, rows):
+    _check_against_oracle(rows, tmp_path_factory.mktemp("aj"),
+                          "asof_join_events")
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(_EVENT, min_size=1, max_size=60))
+def test_range_join_matches_oracle(ray_session, tmp_path_factory, rows):
+    _check_against_oracle(rows, tmp_path_factory.mktemp("rj"),
+                          "range_join_events")
 
 
 def test_temporal_handpicked_regressions(ray_session, tmp_path_factory):
