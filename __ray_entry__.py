@@ -208,6 +208,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_clusters": corpus_ops.minhash_dedup_clusters,  # E4/D3
         "minhash_dedup_keep_first": corpus_ops.minhash_dedup_keep_first,
         "simhash_dedup_clusters": corpus_ops.simhash_dedup_clusters,
+        # training-data curation family (SQL-oracled)
+        "contamination_check": corpus_ops.contamination_check,  # decontam join
+        "top_terms_per_lang": corpus_ops.top_terms_per_lang,    # vocab profile
+        "length_band_filter": corpus_ops.length_band_filter,    # quantile trim
         # similarity search
         "knn_cosine": lambda sf: embedding_ops.knn_brute_force(sf),
         "embedding_dup_pairs": lambda sf: embedding_ops.embedding_dup_pairs(sf),
@@ -417,6 +421,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id FROM documents d LEFT JOIN reach r "
             "ON r.src = d.doc_id GROUP BY d.doc_id "
             "HAVING LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) = d.doc_id"
+        ),
+        # decontamination: benchmark = id-shifted copies of every 3rd doc;
+        # train docs whose text appears verbatim in the benchmark. Real
+        # equi-join on both sides (the Ray side is a part-keyed text
+        # exchange + in-group semi-join).
+        "contamination_check": (
+            f"WITH bench AS (SELECT doc_id + {_SHIFT} AS doc_id, text "
+            "FROM documents WHERE doc_id % 3 = 0) "
+            "SELECT DISTINCT t.doc_id FROM documents t "
+            "JOIN bench b ON b.text = t.text"
+        ),
+        # vocabulary profile: top-5 whitespace tokens per lang, every
+        # occurrence counted, lowercased; ties broken by token asc — the
+        # same deterministic ordering the Ray side's sort_values uses
+        "top_terms_per_lang": (
+            "WITH toks AS ("
+            "  SELECT lang, unnest(string_split_regex(trim(lower(text)),"
+            "    '\\s+')) AS tok"
+            "  FROM documents WHERE length(trim(text)) > 0),"
+            "c AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n"
+            "      FROM toks GROUP BY lang, tok),"
+            "r AS (SELECT lang, tok, n, row_number() OVER ("
+            "        PARTITION BY lang ORDER BY n DESC, tok ASC) AS rn"
+            "      FROM c) "
+            "SELECT lang, tok, n FROM r WHERE rn <= 5"
+        ),
+        # quantile-band quality trim: percentile_disc = sorted ascending,
+        # index ceil(q*n)-1 — the exact discrete rule the Ray side's numpy
+        # band aggregate implements
+        "length_band_filter": (
+            "WITH q AS (SELECT lang,"
+            "  CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)"
+            "       AS BIGINT) AS lo,"
+            "  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)"
+            "       AS BIGINT) AS hi"
+            "  FROM documents GROUP BY lang) "
+            "SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars "
+            "FROM documents d JOIN q USING (lang) "
+            "WHERE d.n_chars >= q.lo AND d.n_chars <= q.hi"
         ),
         # flagship exact-edge slice: content key = whitespace-stripped text
         # for usable text (B7), else the url-prefixed fallback key (the

@@ -179,6 +179,9 @@ def run_bench() -> dict:
     timed("source_length_quantiles",
           lambda: corpus_ops.source_length_quantiles(SF_DIR))
     timed("source_reclassify", lambda: corpus_ops.source_reclassify(SF_DIR))
+    timed("contamination_check", lambda: corpus_ops.contamination_check(SF_DIR))
+    timed("top_terms_per_lang", lambda: corpus_ops.top_terms_per_lang(SF_DIR))
+    timed("length_band_filter", lambda: corpus_ops.length_band_filter(SF_DIR))
     timed("knn_cosine", lambda: embedding_ops.knn_brute_force(SF_DIR))
     timed("knn_ivf", lambda: embedding_ops.knn_ivf(SF_DIR))
     timed("knn_lsh", lambda: embedding_ops.knn_lsh(SF_DIR))

@@ -215,6 +215,150 @@ def source_length_quantiles(sf_dir: str):
                              "p90_chars", "max_chars"]))
 
 
+def contamination_check(sf_dir: str):
+    """Train/test DECONTAMINATION — the exact-overlap check an LLM data
+    pipeline runs before training: emit the train doc_ids whose text
+    appears VERBATIM in the benchmark/eval stream. Benchmark here is the
+    deterministic stand-in the dedup family uses (id-shifted exact copies,
+    of every 3rd doc), so the expected hit set is SQL-predictable while
+    both engines still execute the real join.
+
+    Shape note: BOTH sides are corpus-scale, so no broadcast anywhere —
+    one part-keyed exchange (part = siphash(text) % P) co-locates equal
+    texts and the in-group semi-join is a vectorized isin. This is the
+    large-large equi-join shape, distinct from the broadcast anti-join
+    (tombstones) and the blocked similarity joins."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_parts = _n_parts(_table_rows(sf_dir, "documents"))
+
+    def bench_side(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids % 3 == 0))
+        return t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                            pc.add(t["doc_id"], COPY_SHIFT))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        txt = np.asarray(batch["text"].to_numpy(zero_copy_only=False),
+                         dtype=object)
+        h = pd.util.hash_array(txt, categorize=False)
+        return batch.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32)))
+
+    def semi(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        is_train = df["doc_id"] < COPY_SHIFT
+        bench = df.loc[~is_train, "text"]
+        hit = df.loc[is_train & df["text"].isin(bench), "doc_id"]
+        return pa.table({"doc_id": pa.array(np.sort(hit.to_numpy()),
+                                            pa.int64())})
+
+    both = ds.union(ds.map_batches(bench_side, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+    rows = both.map_batches(add_part, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return rows.groupby("part").map_groups(semi, batch_format="pyarrow")
+
+
+def top_terms_per_lang(sf_dir: str, k: int = 5):
+    """Corpus vocabulary profile: the k most frequent whitespace tokens per
+    language (count EVERY occurrence, lowercased; ties broken by token asc
+    — deterministic, mirrors the oracle's row_number ordering exactly).
+
+    Combiner pattern: each batch folds its token stream into (lang, tok, n)
+    partials (pandas C groupby), so the wide exchange moves vocab-sized
+    partials, never the token stream; the final per-lang top-k runs over
+    the tiny aggregated relation."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(batch["text"]))
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = np.asarray(
+            pc.list_flatten(toks).to_numpy(zero_copy_only=False),
+            dtype=object)
+        langs = np.repeat(
+            np.asarray(batch["lang"].to_pylist(), dtype=object), reps)
+        # Python str.split() never yields '' — drop Arrow's boundary empties
+        mask = flat != ""
+        g = (pd.DataFrame({"lang": langs[mask], "tok": flat[mask]})
+             .groupby(["lang", "tok"], sort=False).size())
+        idx = g.index
+        return pa.table({
+            "lang": pa.array(idx.get_level_values(0), pa.string()),
+            "tok": pa.array(idx.get_level_values(1), pa.string()),
+            "n": pa.array(g.to_numpy(np.int64), pa.int64()),
+        })
+
+    agg = ds.map_batches(partial_counts, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby(
+        ["lang", "tok"]).aggregate(Sum("n", alias_name="n"))
+
+    def topk(group: pa.Table) -> pa.Table:
+        df = (group.to_pandas()
+              .sort_values(["n", "tok"], ascending=[False, True]).head(k))
+        return pa.table({"lang": pa.array(df["lang"], pa.string()),
+                         "tok": pa.array(df["tok"], pa.string()),
+                         "n": pa.array(df["n"].to_numpy(np.int64), pa.int64())})
+
+    return agg.groupby("lang").map_groups(topk, batch_format="pyarrow")
+
+
+def length_band_filter(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
+    """Quantile-band quality filter: keep docs whose n_chars lies inside
+    the per-lang [p5, p95] discrete-quantile band — the standard
+    outlier-trim before training. Aggregate-then-broadcast shape: the
+    per-lang band relation (one row per lang) comes from one pruned keyed
+    exchange (exact discrete quantiles need the group's values together,
+    same contract as source_length_quantiles), broadcasts once via
+    ray.put, and applies as a map-side filter — the corpus never
+    shuffles. percentile_disc semantics (sorted asc, index ceil(q·n)−1)
+    keep the oracle integer-exact."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def band(group: pa.Table) -> pa.Table:
+        s = np.sort(group["n_chars"].to_numpy(zero_copy_only=False))
+        n = len(s)
+        lo = s[max(0, int(np.ceil(lo_q * n)) - 1)]
+        hi = s[max(0, int(np.ceil(hi_q * n)) - 1)]
+        return pa.table({"lang": pa.array([group["lang"][0].as_py()],
+                                          pa.string()),
+                         "lo": pa.array([int(lo)], pa.int64()),
+                         "hi": pa.array([int(hi)], pa.int64())})
+
+    bands = (ds.select_columns(["lang", "n_chars"])
+             .groupby("lang").map_groups(band, batch_format="pyarrow"))
+    lo_map: dict = {}
+    hi_map: dict = {}
+    for b in bands.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for lg, lo, hi in zip(b["lang"].to_pylist(), b["lo"].to_pylist(),
+                              b["hi"].to_pylist()):
+            lo_map[lg] = lo
+            hi_map[lg] = hi
+    ref = ray.put((lo_map, hi_map))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lo_m, hi_m = ray.get(ref)
+        s = pd.Series(batch["lang"].to_pylist(), dtype=object)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = s.map(lo_m).to_numpy(np.int64)
+        hi = s.map(hi_m).to_numpy(np.int64)
+        m = pa.array((nch >= lo) & (nch <= hi))
+        out = batch.filter(m)
+        return pa.table({"doc_id": out["doc_id"], "lang": out["lang"],
+                         "n_chars": pc.cast(out["n_chars"], pa.int64())})
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def token_counts(sf_dir: str):
     """Whitespace token count, fully vectorized (Arrow kernels only)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
