@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_reclassify": corpus_ops.source_reclassify,       # A6/D6
         # rows-only (non-SQL-expressible: heuristic / approximate / pipeline)
         "text_analysis": corpus_ops.text_analysis,
+        "length_quantiles_sketch": corpus_ops.length_quantiles_sketch,  # ±2% gate
         "ngram_jaccard_pairs": lambda sf: corpus_ops.ngram_jaccard_pairs(sf),
         "knn_ivf": lambda sf: embedding_ops.knn_ivf(sf),
         "knn_lsh": lambda sf: embedding_ops.knn_lsh(sf),

@@ -359,6 +359,68 @@ def length_band_filter(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_SKETCH_GAMMA = 1.02  # log-bucket growth: ±2% relative rank-value error
+
+
+def length_quantiles_sketch(sf_dir: str, quantiles: tuple = (0.5, 0.9)):
+    """APPROXIMATE per-source quantiles via a mergeable log-bucket
+    histogram — the documented scale rung past
+    :func:`source_length_quantiles` (whose exact method needs a group's
+    values TOGETHER; at the scale where one group outgrows a node, ship
+    fixed-size sketches instead). Each batch folds its values into
+    bucket counts (bucket = ceil(log_γ v); γ=1.02 ⇒ any quantile lands
+    within one bucket, i.e. ±2% of the true VALUE); partial histograms
+    are vocabulary-small (one (source, bucket) row per touched bucket),
+    merge by a plain SUM exchange, and the per-source quantile readout
+    walks the tiny merged histogram. Deterministic, mergeable,
+    error-BOUNDED — pytest gates the bound vs the exact operator
+    (tests/test_corpus_pins.py); no SQL oracle (approximate by design).
+    Output: (source, n_docs, p50_chars, p90_chars) with values = bucket
+    upper bounds."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    lg = np.log(_SKETCH_GAMMA)
+
+    def partial_hist(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bucket = np.where(v <= 1, 0,
+                          np.ceil(np.log(np.maximum(v, 1)) / lg)).astype(np.int64)
+        g = (pd.DataFrame({"source": batch["source"].to_pylist(),
+                           "bucket": bucket})
+             .groupby(["source", "bucket"], sort=False).size())
+        idx = g.index
+        return pa.table({
+            "source": pa.array(idx.get_level_values(0), pa.string()),
+            "bucket": pa.array(idx.get_level_values(1).to_numpy(np.int64),
+                               pa.int64()),
+            "n": pa.array(g.to_numpy(np.int64), pa.int64()),
+        })
+
+    merged = ds.map_batches(partial_hist, batch_format="pyarrow",
+                            zero_copy_batch=True).groupby(
+        ["source", "bucket"]).aggregate(Sum("n", alias_name="n"))
+
+    def readout(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values("bucket")
+        counts = df["n"].to_numpy(np.int64)
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        row = {"source": [df["source"].iloc[0]],
+               "n_docs": pa.array([total], pa.int64())}
+        for q in quantiles:
+            # discrete-quantile rank (ceil(q*n)), read from the cumulative
+            # histogram; value = the bucket's upper bound γ^bucket
+            rank = max(1, int(np.ceil(q * total)))
+            b = int(df["bucket"].to_numpy()[np.searchsorted(cum, rank)])
+            row[f"p{int(q * 100)}_chars"] = pa.array(
+                [int(round(_SKETCH_GAMMA ** b))], pa.int64())
+        return pa.table(row)
+
+    return merged.groupby("source").map_groups(readout, batch_format="pyarrow")
+
+
 def token_counts(sf_dir: str):
     """Whitespace token count, fully vectorized (Arrow kernels only)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -99,3 +99,20 @@ def test_simhash_identical_sketch_blowup(ray_session, tmp_path):
     cl = dict(zip(got["doc_id"], got["cluster_id"]))
     assert all(cl[i] == 0 for i in range(n_a)), "family A split"
     assert all(cl[i] == n_a for i in range(n_a, n_a + n_b)), "family B split"
+
+
+def test_length_quantiles_sketch_error_bound(ray_session):
+    """The mergeable log-bucket sketch must land within its documented
+    relative error of the EXACT discrete quantiles (γ=1.02 ⇒ one bucket ⇒
+    ≤ ~2% value error, plus the off-by-one-bucket boundary case)."""
+    from repostcheckerbot_ray.pipelines import corpus_ops
+
+    exact = corpus_ops.source_length_quantiles(SF).to_pandas().set_index("source")
+    got = corpus_ops.length_quantiles_sketch(SF).to_pandas().set_index("source")
+    assert set(got.index) == set(exact.index)
+    for src in exact.index:
+        assert int(got.loc[src, "n_docs"]) == int(exact.loc[src, "n_docs"])
+        for col in ("p50_chars", "p90_chars"):
+            e = float(exact.loc[src, col])
+            a = float(got.loc[src, col])
+            assert abs(a - e) <= max(2.0, 0.025 * e), (src, col, a, e)
