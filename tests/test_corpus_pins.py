@@ -64,6 +64,8 @@ def test_part_count_invariance(ray_session, monkeypatch):
             .sort_values(["user_id", "session_id"]).reset_index(drop=True)
         out["range"] = corpus_ops.range_join_events(SF).to_pandas() \
             .sort_values(["left_event_id", "right_event_id"]).reset_index(drop=True)
+        out["contam"] = corpus_ops.contamination_check(SF).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
         return out
 
     results = {}
