@@ -276,6 +276,27 @@ def _drop_parts_filter(col: str, num_parts: int, done: set[int]):
     return f
 
 
+def _pages_row_count(pages_path) -> int | None:  # noqa: ANN001
+    """Total rows of a parquet file/dir/list input via metadata (free);
+    None for Dataset inputs (size unknown without executing)."""
+    import glob as _glob
+
+    if hasattr(pages_path, "map_batches"):
+        return None
+    paths = [pages_path] if isinstance(pages_path, str) else list(pages_path)
+    total = 0
+    for p in paths:
+        files = ([p] if os.path.isfile(p)
+                 else sorted(_glob.glob(os.path.join(p, "*.parquet"))))
+        if not files:
+            return None
+        try:
+            total += sum(pq.read_metadata(f).num_rows for f in files)
+        except OSError:
+            return None
+    return total
+
+
 def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = None,
                         write_outputs: bool = True,
                         extra_fingerprint_ckpts=None,
@@ -327,10 +348,27 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     cpus = int(ray.cluster_resources().get("CPU", 4))
     if cfg.shuffle_blocks is None:
         cfg = RepostConfig(**{**asdict(cfg), "shuffle_blocks": max(8, 2 * cpus)})
+    n_in = _pages_row_count(pages_path)  # parquet metadata; None for Datasets
     fp_concurrency = cfg.fingerprint_concurrency
     if fp_concurrency is None:
-        # leave room for shuffle aggregator actors + read/write tasks
-        fp_concurrency = max(1, cpus - max(3, cpus // 4))
+        # leave room for shuffle aggregator actors + read/write tasks, and
+        # never ramp more actors than the INPUT can feed — a small delta
+        # re-poll must not pay a full-cluster actor-pool ramp for a few
+        # hundred batches
+        if n_in is not None:
+            from . import pool_size
+
+            fp_concurrency = pool_size(n_in)
+        else:  # Dataset input: size unknown up front
+            fp_concurrency = max(1, cpus - max(3, cpus // 4))
+    # exchange strategy by measured crossover: the hash shuffle's fixed cost
+    # (aggregator actors × partitions) beats sort only on LARGE exchanges
+    # (the 20M-row edge explode measured 66s sort vs 21s hash); at the
+    # fingerprint relation's row-per-doc scale sort wins clearly at delta
+    # scale (31.5k docs: 1.3s sort vs 3.5s hash) and hash holds its record
+    # at bench scale (252k docs: in-pipeline fingerprints wall 12.4s hash
+    # vs 15.2s sort) — crossover set between the two measured points
+    fp_exchange = "hash" if (n_in is None or n_in > 100_000) else "sort"
 
     def fp_builder(src):  # noqa: ANN001
         return src.map_batches(
@@ -353,7 +391,7 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
 
     fp_ckpt.__class__ = _fp_ckpt_cls or _FpCheckpoint
     fingerprints = _checkpointed_stage(fp_builder, fp_input_filter, fp_ckpt,
-                                       fp_schema, metrics, exchange="hash")
+                                       fp_schema, metrics, exchange=fp_exchange)
     fp_ckpt.write_lineage({"input": str(pages_path)})
     _mark("fingerprints")
 
@@ -382,6 +420,13 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
                 _tag(True), batch_format="pyarrow", zero_copy_batch=True,
             ).union(extra_fingerprints.select_columns(cols).map_batches(
                 _tag(False), batch_format="pyarrow", zero_copy_batch=True))
+            # the tagged union feeds blocking AND the cluster meta pass AND
+            # the assigner AND the report — materialize it once so each
+            # consumer streams pinned blocks instead of re-reading and
+            # re-tagging the history parquet per pass (measured multi-second
+            # on delta runs; the full run's relation is already materialized
+            # via its written checkpoint blocks)
+            fingerprints = fingerprints.materialize()
         else:
             fingerprints = fingerprints.union(
                 extra_fingerprints.select_columns(cols))
