@@ -171,3 +171,45 @@ def test_unrelated_error_is_not_swallowed_by_fallback(
     with pytest.raises(RuntimeError, match="genuine scorer bug"):
         run_repost_pipeline(str(pdir), str(tmp_path / "out"),
                             RepostConfig(num_parts=2))
+
+
+def test_curation_ops_degenerate_corpora(ray_session, tmp_path):
+    """Empty and single-row documents tables through the round-4 curation
+    ops (contamination join, top-terms, quantile trim, quantile sketch) —
+    the driver sweeps odd sf dirs and a 100-TB run WILL see empty
+    partitions; none of these may crash or mislabel."""
+    import numpy as np
+
+    from repostcheckerbot_ray.pipelines import corpus_ops
+
+    docs_schema = pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("lang", pa.string()), ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ])
+
+    def write(rows: dict, name: str) -> str:
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(pa.table(rows, schema=docs_schema),
+                       str(d / "documents.parquet"))
+        return str(d)
+
+    empty = write({k: [] for k in docs_schema.names}, "empty")
+    single = write({"doc_id": [3], "text": ["one single document"],
+                    "lang": ["en"], "source": ["top"], "n_chars": [19]},
+                   "single")
+
+    for sf in (empty, single):
+        n_docs = 0 if sf == empty else 1
+        assert corpus_ops.contamination_check(sf).count() == (
+            0 if sf == empty else 1)  # doc_id 3 % 3 == 0 -> benchmark copy
+        tt = corpus_ops.top_terms_per_lang(sf).to_pandas()
+        assert len(tt) == (0 if sf == empty else 3)  # 3 distinct tokens
+        lb = corpus_ops.length_band_filter(sf).to_pandas()
+        assert len(lb) == n_docs  # single row is its own band
+        sk = corpus_ops.length_quantiles_sketch(sf).to_pandas()
+        assert len(sk) == (0 if sf == empty else 1)
+        if n_docs:
+            # sketch of one value lands within one bucket of the value
+            assert abs(int(sk["p50_chars"].iloc[0]) - 19) <= 1
