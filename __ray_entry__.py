@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tombstone_anti_join": corpus_ops.tombstone_anti_join,   # D5
         "lang_filter": lambda sf: corpus_ops.lang_filter(sf),    # B3
         "source_reclassify": corpus_ops.source_reclassify,       # A6/D6
+        "url_normalize": corpus_ops.url_normalize,               # B6
         # rows-only (non-SQL-expressible: heuristic / approximate / pipeline)
         "text_analysis": corpus_ops.text_analysis,
         "length_quantiles_sketch": corpus_ops.length_quantiles_sketch,  # ±2% gate
@@ -575,6 +576,34 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_filter": (
             "SELECT doc_id, lang FROM documents WHERE lang NOT IN ('zh', 'fr')"
+        ),
+        # B6 normalize_url mirrored in SQL string functions: (1) drop the
+        # youtube share suffix, (2) strip from '#', (3) lowercase
+        # scheme+host (up to the first '/' after '://'; whole string when
+        # host-only; untouched when no '://' or when it LEADS the string —
+        # python find()>0). strpos is 1-based: se>=2 ≡ find()>0.
+        "url_normalize": (
+            "WITH u0 AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)"
+            "  WHEN 0 THEN 'HTTP://WWW.Example' || CAST(doc_id AS VARCHAR)"
+            "    || '.COM/Path' || CAST(doc_id AS VARCHAR) || '#Frag'"
+            "  WHEN 1 THEN 'https://youtu.be/V' || CAST(doc_id AS VARCHAR)"
+            "    || '?x=1&feature=youtu.be'"
+            "  WHEN 2 THEN 'ftp://Mixed.Case' || CAST(doc_id AS VARCHAR)"
+            "    || '.Net'"
+            "  ELSE 'no scheme here ' || CAST(doc_id AS VARCHAR) END AS url"
+            "  FROM documents),"
+            "u1 AS (SELECT doc_id,"
+            "  replace(url, '&feature=youtu.be', '') AS u FROM u0),"
+            "u2 AS (SELECT doc_id, CASE WHEN strpos(u, '#') > 0"
+            "  THEN substr(u, 1, strpos(u, '#') - 1) ELSE u END AS u FROM u1),"
+            "u3 AS (SELECT doc_id, u, strpos(u, '://') AS se FROM u2),"
+            "u4 AS (SELECT doc_id, u, se, CASE WHEN se >= 2 THEN"
+            "  CASE WHEN strpos(substr(u, se + 3), '/') > 0"
+            "    THEN se + strpos(substr(u, se + 3), '/') + 1"
+            "    ELSE length(u) END ELSE 0 END AS he FROM u3) "
+            "SELECT doc_id, CASE WHEN se >= 2"
+            "  THEN lower(substr(u, 1, he)) || substr(u, he + 1)"
+            "  ELSE u END AS url_norm FROM u4"
         ),
         "source_reclassify": (
             "WITH rescanned AS ("

@@ -359,6 +359,44 @@ def length_band_filter(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def url_normalize(sf_dir: str):
+    """B6 URL normalizer driver-green (previously unit-pinned only): build
+    a deterministic URL per doc covering every branch of
+    functions.textnorm.normalize_url — the youtube share suffix, fragment
+    strip, mixed-case scheme/host lowering (path case preserved), a
+    host-only URL, and a non-URL string — then apply the REAL function.
+    The DuckDB oracle re-implements the same three steps in SQL string
+    functions, so the whole normalization contract is value-checked
+    end-to-end. (Per-string Python is fine here: this is the B6 parity
+    showcase, not a hot path — the flagship touches normalize_url only on
+    url-modality rows.)"""
+    from ..functions.textnorm import normalize_url
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def build_and_norm(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = []
+        for i in ids.tolist():
+            m = i % 4
+            if m == 0:
+                urls.append(f"HTTP://WWW.Example{i}.COM/Path{i}#Frag")
+            elif m == 1:
+                urls.append(f"https://youtu.be/V{i}?x=1&feature=youtu.be")
+            elif m == 2:
+                urls.append(f"ftp://Mixed.Case{i}.Net")  # host-only, no path
+            else:
+                urls.append(f"no scheme here {i}")       # find('://') < 0
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "url_norm": pa.array([normalize_url(u) for u in urls],
+                                 pa.string()),
+        })
+
+    return ds.map_batches(build_and_norm, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 _SKETCH_GAMMA = 1.02  # log-bucket growth: ±2% relative rank-value error
 
 
