@@ -53,6 +53,22 @@ def fast_shuffle():
         ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = prev["ag_cpu"]
 
 
+def maybe_fast_shuffle(n_rows: int | None):
+    """Size-aware exchange strategy: :func:`fast_shuffle` (hash) only when
+    the exchange moves enough rows to amortize the hash shuffle's fixed
+    aggregator/partition cost; below the crossover the default sort
+    strategy is faster AND tolerates empty blocks. Measured: 20M-row edge
+    explode 66s sort vs 21s hash; 1.6M-row minhash band exchange 3.2s sort
+    vs 3.8s hash; 31.5k-row fingerprint exchange 1.3s sort vs 3.5s hash.
+    None (unknown size) keeps hash — the conservative choice at corpus
+    scale."""
+    import contextlib
+
+    if n_rows is None or n_rows > 4_000_000:
+        return fast_shuffle()
+    return contextlib.nullcontext()
+
+
 def cluster_cpus() -> int:
     """Cluster CPU budget (initialized Ray session, else the host)."""
     import ray

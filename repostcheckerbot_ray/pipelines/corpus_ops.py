@@ -1098,7 +1098,8 @@ class _ShingleBander:
         )
 
 
-def _candidate_pairs_ds(bands_ds, max_block: int = 256, n_parts: int = 16):  # noqa: ANN001
+def _candidate_pairs_ds(bands_ds, max_block: int = 256, n_parts: int = 16,
+                        n_band_rows: int | None = None):  # noqa: ANN001
     """Part-keyed exchange (part = band_key % P → few large groups), then a
     numpy run-scan over sorted band keys inside each part; only
     multi-occupancy bands emit pairs, deduped WITHIN the part (a pair
@@ -1142,10 +1143,10 @@ def _candidate_pairs_ds(bands_ds, max_block: int = 256, n_parts: int = 16):  # n
         return pa.table({"a": pa.array(ab[:, 0], pa.int64()),
                          "b": pa.array(ab[:, 1], pa.int64())})
 
-    from . import fast_shuffle
+    from . import maybe_fast_shuffle
 
     # coalesce before the shuffle: sort-shuffle cost grows with block count²
-    with fast_shuffle():
+    with maybe_fast_shuffle(n_band_rows):
         cands = bands_ds.repartition(n_parts).groupby("part").map_groups(
             pairs_in_part, batch_format="pyarrow")
         cands = cands.materialize()
@@ -1188,11 +1189,15 @@ def _verified_pairs(sf_dir: str, threshold: float):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_parts = _n_parts(_table_rows(sf_dir, "documents"))
+    n_docs = _table_rows(sf_dir, "documents")
     bands = ds.map_batches(
         _ShingleBander, fn_constructor_kwargs={"n_parts": n_parts},
         batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=_pool_size(_table_rows(sf_dir, "documents")))
-    cands = _candidate_pairs_ds(bands, n_parts=n_parts)
+        concurrency=_pool_size(n_docs))
+    from ..functions.fingerprint import NUM_BANDS as _NB
+
+    cands = _candidate_pairs_ds(bands, n_parts=n_parts,
+                                n_band_rows=n_docs * _NB)
     if cands.count() == 0:
         import ray.data as rd
 
@@ -1385,9 +1390,10 @@ def simhash_dedup_clusters(sf_dir: str, max_hamming: int = 3,
         )
 
     edges = set()
-    from . import fast_shuffle
+    from . import maybe_fast_shuffle
 
-    with fast_shuffle():
+    with maybe_fast_shuffle(_table_rows(sf_dir, "documents")
+                            * _SimhashBander.N_BANDS):
         out = rows.repartition(n_parts).groupby("part").map_groups(
             pairs_in_part, batch_format="pyarrow")
     for t in out.iter_batches(batch_size=65536, batch_format="pyarrow"):
