@@ -93,6 +93,16 @@ def test_range_join_matches_oracle(ray_session, tmp_path_factory, rows):
                           "range_join_events")
 
 
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(_EVENT, min_size=1, max_size=60))
+def test_hopping_window_matches_oracle(ray_session, tmp_path_factory, rows):
+    # pre-1970 negative epochs are the killer case here (floor vs truncate
+    # division — the round-3 oracle fix); the generator emits them
+    _check_against_oracle(rows, tmp_path_factory.mktemp("hw"),
+                          "hopping_window_counts")
+
+
 def test_temporal_handpicked_regressions(ray_session, tmp_path_factory):
     """Always-run adversarial streams: every event at ONE timestamp for ONE
     user (pure tie-breaking), and a pre-1970 stream (negative epoch_us)."""
