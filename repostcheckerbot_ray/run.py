@@ -36,6 +36,11 @@ def main(argv=None) -> int:  # noqa: ANN001
                    help="local session size (default: all cores)")
     p.add_argument("--stage", default=None,
                    help="run one registered stage instead of the pipeline")
+    p.add_argument("--query", default=None, metavar="NAME",
+                   help="run one registered corpus/embedding query (any "
+                        "__ray_entry__.queries() name) over --pages "
+                        "(interpreted as the sf table dir) and write the "
+                        "result to --out as parquet")
     args = p.parse_args(argv)
 
     import ray
@@ -45,6 +50,28 @@ def main(argv=None) -> int:  # noqa: ANN001
                  include_dashboard=False, logging_level="ERROR")
     try:
         import ray.data as rd
+
+        if args.query:
+            # the curation/query family as a CLI job with a parquet sink —
+            # --pages is the sf table dir (documents/events/embeddings)
+            import pyarrow as pa
+
+            import __ray_entry__ as entry_mod
+
+            qs = entry_mod.queries()
+            if args.query not in qs:
+                print(f"unknown query {args.query!r}; known: "
+                      f"{sorted(qs)}", file=sys.stderr)
+                return 2
+            out = qs[args.query](args.pages)
+            if isinstance(out, pa.Table):
+                out = rd.from_arrow(out)
+            elif not hasattr(out, "write_parquet"):  # pandas DataFrame
+                out = rd.from_pandas(out)
+            out.write_parquet(args.out)
+            print(json.dumps({"query": args.query, "rows": out.count(),
+                              "out": args.out}))
+            return 0
 
         if args.stage:
             from .stages import registry
