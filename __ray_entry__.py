@@ -437,13 +437,19 @@ def oracle_sql() -> dict[str, str]:
         # vocabulary profile: top-5 whitespace tokens per lang, every
         # occurrence counted, lowercased; ties broken by token asc — the
         # same deterministic ordering the Ray side's sort_values uses
+        # tokenizer class = the engine's exact split set: Arrow's
+        # utf8_split_whitespace splits on precisely _WHITESPACE_CODEPOINTS
+        # (pinned by tests/test_corpus_pins.py::test_arrow_ws_set), while
+        # RE2 '\\s' is ASCII-only — U+00A0/U+3000-class whitespace would
+        # diverge. Boundary empties are dropped in SQL like the engine's
+        # flat != '' mask.
         "top_terms_per_lang": (
             "WITH toks AS ("
-            "  SELECT lang, unnest(string_split_regex(trim(lower(text)),"
-            "    '\\s+')) AS tok"
-            "  FROM documents WHERE length(trim(text)) > 0),"
+            f"  SELECT lang, unnest(string_split_regex(lower(text),"
+            f"    '{_WS_RE}+')) AS tok"
+            "  FROM documents),"
             "c AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n"
-            "      FROM toks GROUP BY lang, tok),"
+            "      FROM toks WHERE tok <> '' GROUP BY lang, tok),"
             "r AS (SELECT lang, tok, n, row_number() OVER ("
             "        PARTITION BY lang ORDER BY n DESC, tok ASC) AS rn"
             "      FROM c) "

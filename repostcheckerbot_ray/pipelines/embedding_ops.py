@@ -278,12 +278,21 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.99,
     label (fixed blocking key): within-block cosine, emit id_a<id_b pairs
     with similarity > threshold.
 
-    Hot-label rule: the in-group pair scan is TILED into tile×tile matmuls
-    (sorted by vec_id, upper triangle of tile pairs), so a hot label costs
-    bounded memory per step instead of one O(n²) similarity matrix — and,
-    unlike the salting rule for LSH bands (where other bands recover
-    recall), NO pairs are dropped here, because the label block is the only
-    chance to find the pair and the SQL oracle checks exact equality."""
+    Hot-label rule (round-4 VERDICT item 3): the exchange is keyed by
+    (label, tile_i, tile_j) PAIR-OF-TILES, not by label — a hot label's
+    O(n²/tile²) tile-matmul cells run as independent tasks across the
+    cluster instead of one serial quadratic group. Tiles are assigned by
+    deterministic hash of vec_id (T = ceil(n_label / tile) from one tiny
+    count aggregate, broadcast via ray.put), so no per-label rank sort is
+    needed; each row is replicated to the T cells whose row/column it
+    occupies. For T == 1 (every non-pathological label) the explode is a
+    no-copy pass-through, the exchange volume is unchanged, and exactly
+    one cell scans the label. NO pairs are dropped at any T: each
+    unordered pair lands in exactly one cell ((min,max) of its two tile
+    ids), the oracle checks exact equality."""
+    import pandas as pd
+    import ray
+
     ds = _read_embeddings(sf_dir)
 
     def shifted(batch: pa.Table) -> pa.Table:
@@ -291,30 +300,66 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.99,
         return batch.set_column(i, "vec_id", pc.add(batch["vec_id"], COPY_SHIFT))
 
     both = ds.union(ds.map_batches(shifted, batch_format="pyarrow", zero_copy_batch=True))
+    both = both.materialize()  # consumed twice: count aggregate + explode
 
-    def pairs_in_label(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group["vec_id"])
-        group = group.take(order)
-        m = _normalize(_batch_matrix(group))
+    # tiny aggregate: rows per label -> tiles per label (blocking-key-sized)
+    n_tiles_map: dict[int, int] = {}
+    for b in both.groupby("label").count().iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        for lbl, n in zip(b["label"].to_pylist(), b["count()"].to_pylist()):
+            n_tiles_map[lbl] = -(-n // tile)  # ceil
+    tiles_ref = ray.put(n_tiles_map)
+
+    def explode_cells(batch: pa.Table) -> pa.Table:
+        tm: dict[int, int] = ray.get(tiles_ref)
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        t_of = pd.Series(labels).map(tm).to_numpy(np.int64)
+        if (t_of <= 1).all():  # fast path: every label single-cell
+            z = np.zeros(batch.num_rows, dtype=np.int32)
+            return (batch.append_column("tile", pa.array(z))
+                         .append_column("ci", pa.array(z))
+                         .append_column("cj", pa.array(z)))
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        # deterministic per-row tile: splitmix64-ish of vec_id mod T
+        h = pd.util.hash_array(vids.astype(np.int64), categorize=False)
+        my_tile = (h % t_of.astype(np.uint64)).astype(np.int64)
+        # row with tile t joins every cell where one side is t:
+        # (min(t,u), max(t,u)) for u in 0..T-1 -> T copies
+        idx = np.repeat(np.arange(batch.num_rows), t_of)
+        # per-duty "other" tile u: 0..T_row-1 concatenated
+        u = np.concatenate([np.arange(t) for t in t_of]) if len(t_of) else \
+            np.array([], dtype=np.int64)
+        t_rep = my_tile[idx]
+        ci = np.minimum(t_rep, u).astype(np.int32)
+        cj = np.maximum(t_rep, u).astype(np.int32)
+        out = batch.take(pa.array(idx))
+        return (out.append_column("tile", pa.array(t_rep.astype(np.int32)))
+                   .append_column("ci", pa.array(ci))
+                   .append_column("cj", pa.array(cj)))
+
+    def pairs_in_cell(group: pa.Table) -> pa.Table:
+        ci = group["ci"][0].as_py()
+        cj = group["cj"][0].as_py()
         vids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(vids)
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        for i0 in range(0, n, tile):
-            mi = m[i0:i0 + tile]
-            for j0 in range(i0, n, tile):
-                sims = mi @ m[j0:j0 + tile].T
-                ai, bi = np.nonzero(sims > threshold)
-                ai = ai + i0
-                bi = bi + j0
-                keep = ai < bi  # strict upper triangle across tiles
-                if keep.any():
-                    out_a.append(np.minimum(vids[ai[keep]], vids[bi[keep]]))
-                    out_b.append(np.maximum(vids[ai[keep]], vids[bi[keep]]))
-        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
-        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        m = _normalize(_batch_matrix(group))
+        if ci == cj:  # diagonal cell: triu over the tile's own rows
+            sims = m @ m.T
+            ai, bi = np.nonzero(sims > threshold)
+            keep = vids[ai] < vids[bi]
+            a, b = vids[ai[keep]], vids[bi[keep]]
+        else:  # off-diagonal: A-side (tile==ci) x B-side (tile==cj) only
+            side_a = group["tile"].to_numpy(zero_copy_only=False) == ci
+            ma, mb = m[side_a], m[~side_a]
+            va, vb = vids[side_a], vids[~side_a]
+            sims = ma @ mb.T
+            ai, bi = np.nonzero(sims > threshold)
+            x, y = va[ai], vb[bi]
+            a, b = np.minimum(x, y), np.maximum(x, y)
         return pa.table(
             {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
         )
 
-    return both.groupby("label").map_groups(pairs_in_label, batch_format="pyarrow")
+    exploded = both.map_batches(explode_cells, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return exploded.groupby(["label", "ci", "cj"]).map_groups(
+        pairs_in_cell, batch_format="pyarrow")

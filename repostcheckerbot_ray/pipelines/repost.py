@@ -292,8 +292,8 @@ def _pages_row_count(pages_path) -> int | None:  # noqa: ANN001
             return None
         try:
             total += sum(pq.read_metadata(f).num_rows for f in files)
-        except OSError:
-            return None
+        except Exception:  # OSError, ArrowInvalid on corrupt/non-parquet —
+            return None    # fall back to n_in=None autoscaling, don't crash
     return total
 
 

@@ -68,6 +68,10 @@ def main(argv=None) -> int:  # noqa: ANN001
                 out = rd.from_arrow(out)
             elif not hasattr(out, "write_parquet"):  # pandas DataFrame
                 out = rd.from_pandas(out)
+            # materialize once, then write + count the materialized blocks —
+            # count() on the lazy ds would re-execute the whole query DAG
+            # (for repost_clusters that is a second full pipeline run)
+            out = out.materialize()
             out.write_parquet(args.out)
             print(json.dumps({"query": args.query, "rows": out.count(),
                               "out": args.out}))

@@ -113,7 +113,10 @@ def collect_components(edges_ds) -> dict:  # noqa: ANN001
         import pyarrow.parquet as _pq
 
         files = sorted(glob.glob(os.path.join(edges_ds, "*.parquet")))
-        n_edges = sum(_pq.read_metadata(f).num_rows for f in files)
+        try:
+            n_edges = sum(_pq.read_metadata(f).num_rows for f in files)
+        except Exception:  # corrupt/non-parquet stray file: let the real
+            n_edges = 0    # read below surface the error, not the free scan
         if n_edges > _distributed_cc_threshold():
             import ray.data as rd
 
@@ -215,10 +218,15 @@ def assign_clusters_joined(fingerprints_ds, labels_ds, num_parts: int | None = N
         tag_lbl, batch_format="pyarrow", zero_copy_batch=True))
 
     def join_group(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        lbl = df["cluster_id"].notna()
-        l = df.loc[lbl, ["url", "cluster_id"]].drop_duplicates("url")
-        f = df.loc[~lbl, ["url", "warc_ts"]]
+        import pyarrow.compute as pc
+
+        # split label/fingerprint rows in ARROW before to_pandas: the padded
+        # union's null warc_ts on label rows would otherwise force the int64
+        # column to float64 (silent precision loss above 2^53 µs)
+        lbl = pc.is_valid(t["cluster_id"])
+        l = (t.filter(lbl).select(["url", "cluster_id"])
+              .to_pandas().drop_duplicates("url"))
+        f = t.filter(pc.invert(lbl)).select(["url", "warc_ts"]).to_pandas()
         m = f.merge(l, on="url", how="left")
         cid = m["cluster_id"].fillna(m["url"])
         return pa.table({
@@ -404,7 +412,10 @@ def assign_clusters_with_meta(fingerprints_ds, edges_ds, edges_path: str | None 
         import pyarrow.parquet as _pq
 
         files = sorted(_glob.glob(_os.path.join(edges_path, "*.parquet")))
-        n_edges = sum(_pq.read_metadata(f).num_rows for f in files)
+        try:
+            n_edges = sum(_pq.read_metadata(f).num_rows for f in files)
+        except Exception:  # same guard as collect_components
+            n_edges = 0
         if n_edges > _join_assigner_threshold():
             import ray.data as rd
 
@@ -413,6 +424,12 @@ def assign_clusters_with_meta(fingerprints_ds, edges_ds, edges_path: str | None 
             labels = label_propagation_components(
                 rd.read_parquet(files, columns=["url_a", "url_b"]))
             ds = assign_clusters_joined(fingerprints_ds, labels)
+            # materialize ONCE: meta_topk_from_clusters executes the
+            # two-exchange assigner DAG, and the caller executes ds again
+            # when writing the clusters relation — without this the join
+            # assignment would run twice at exactly the >50M-edge scale
+            # this rung exists for
+            ds = ds.materialize()
             meta = meta_topk_from_clusters(ds)
             return ds, {}, meta
 

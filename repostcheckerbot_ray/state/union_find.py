@@ -88,15 +88,23 @@ def label_propagation_components(edges_ds, max_iters: int = 50,  # noqa: ANN001
     edge-sized throughout, never corpus-sized. The driver-side
     ``components_from_edges`` is preferred while edges fit one node; this is
     the documented beyond-one-node fallback, same output contract.
+
+    Key-dtype agnostic: url_a/url_b may be strings (flagship) or int64
+    doc_ids (corpus-ops dedup family). The padded union carries NO null
+    columns — edge rows are (key=src, val=dst), label rows are
+    (key=url, val=label) — so int64 ids never round-trip through float64
+    (the precision-loss class round-4 ADVICE flagged in join_group).
     """
     import numpy as np
     import pandas as pd
     import pyarrow as pa
 
-    from ..functions.fingerprint import token_hash
-
-    def part_of(series: pd.Series) -> pd.Series:
-        return series.map(lambda u: token_hash(u) % num_parts)
+    def part_of(series: pd.Series) -> np.ndarray:
+        # vectorized, deterministic (independent of PYTHONHASHSEED), one C
+        # pass; partitioning only affects grouping, never the output (min
+        # over neighbors is partition-independent)
+        h = pd.util.hash_array(series.to_numpy(), categorize=False)
+        return (h % np.uint64(num_parts)).astype(np.int64)
 
     # bidirectional edge relation, keyed by the SRC endpoint's part; the
     # label side of the join is keyed the same way, so each part group is a
@@ -105,8 +113,7 @@ def label_propagation_components(edges_ds, max_iters: int = 50,  # noqa: ANN001
         src = pd.concat([b["url_a"], b["url_b"]], ignore_index=True)
         dst = pd.concat([b["url_b"], b["url_a"]], ignore_index=True)
         return pd.DataFrame(
-            {"key": src, "other": dst, "label": None, "is_label": False,
-             "part": part_of(src)}
+            {"key": src, "val": dst, "is_label": False, "part": part_of(src)}
         )
 
     edges_bi = edges_ds.map_batches(
@@ -125,8 +132,8 @@ def label_propagation_components(edges_ds, max_iters: int = 50,  # noqa: ANN001
 
     def as_join_side(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"key": b["url"], "other": None, "label": b["label"],
-             "is_label": True, "part": b["part"]}
+            {"key": b["url"], "val": b["label"], "is_label": True,
+             "part": b["part"]}
         )
 
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -134,9 +141,10 @@ def label_propagation_components(edges_ds, max_iters: int = 50,  # noqa: ANN001
         through. Output keyed by the RECEIVING url's part."""
         lab = g[g["is_label"]]
         ed = g[~g["is_label"]]
-        cand = ed[["key", "other"]].merge(lab[["key", "label"]], on="key")
-        url = pd.concat([cand["other"], lab["key"]], ignore_index=True)
-        label = pd.concat([cand["label"], lab["label"]], ignore_index=True)
+        cand = ed[["key", "val"]].merge(
+            lab[["key", "val"]].rename(columns={"val": "label"}), on="key")
+        url = pd.concat([cand["val"], lab["key"]], ignore_index=True)
+        label = pd.concat([cand["label"], lab["val"]], ignore_index=True)
         is_old = np.r_[np.zeros(len(cand), bool), np.ones(len(lab), bool)]
         return pd.DataFrame(
             {"url": url, "label": label, "is_old": is_old,
@@ -167,8 +175,13 @@ def label_propagation_components(edges_ds, max_iters: int = 50,  # noqa: ANN001
     if labels.count() == 0:  # empty batches carry no columns to rename
         import ray.data as rd
 
-        return rd.from_arrow(pa.table({"url": pa.array([], pa.string()),
-                                       "cluster_id": pa.array([], pa.string())}))
+        try:
+            sch = edges_ds.schema()
+            key_type = dict(zip(sch.names, sch.types))["url_a"]
+        except Exception:
+            key_type = pa.string()
+        return rd.from_arrow(pa.table({"url": pa.array([], key_type),
+                                       "cluster_id": pa.array([], key_type)}))
     return labels.map_batches(
         lambda b: b[["url", "label"]].rename(columns={"label": "cluster_id"}),
         batch_format="pandas",

@@ -118,3 +118,23 @@ def test_length_quantiles_sketch_error_bound(ray_session):
             e = float(exact.loc[src, col])
             a = float(got.loc[src, col])
             assert abs(a - e) <= max(2.0, 0.025 * e), (src, col, a, e)
+
+
+def test_arrow_ws_set_pin():
+    """The top_terms_per_lang DuckDB oracle tokenizes with a regex class
+    built from textnorm._WHITESPACE_CODEPOINTS; the engine tokenizes with
+    Arrow utf8_split_whitespace. This pins the two sets EQUAL over the full
+    Unicode range (one vectorized Arrow call) so the oracle cannot silently
+    diverge on exotic whitespace (round-4 ADVICE)."""
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from repostcheckerbot_ray.functions.textnorm import _WHITESPACE_CODEPOINTS
+
+    cps = [c for c in range(sys.maxunicode + 1) if not 0xD800 <= c <= 0xDFFF]
+    arr = pa.array([f"a{chr(c)}b" for c in cps], pa.string())
+    n_parts = pc.list_value_length(pc.utf8_split_whitespace(arr)).to_numpy()
+    arrow_ws = {c for c, n in zip(cps, n_parts) if n == 2}
+    assert arrow_ws == set(_WHITESPACE_CODEPOINTS)

@@ -18,6 +18,10 @@ from hypothesis import strategies as st
 _TEXTS = st.sampled_from([
     "", "a", "aa b", "the same text", "the same  text", "x y z",
     "the same text ", "THE SAME TEXT",
+    # non-ASCII whitespace (NBSP / ideographic space / NEL): the engine
+    # tokenizes with Arrow utf8_split_whitespace (Unicode set) — the oracle
+    # regex must split identically (round-4 ADVICE divergence)
+    "a b", "　x　", "nelnel", " ", "a   b",
 ])
 _DOC = st.tuples(_TEXTS, st.sampled_from(["en", "de"]),
                  st.integers(min_value=0, max_value=400))

@@ -277,3 +277,32 @@ def test_flagship_unchanged_under_join_assigner(ray_session, tmp_path, monkeypat
     got_cl, got_ed = run("joined")
     pd.testing.assert_frame_equal(got_cl, want_cl)
     pd.testing.assert_frame_equal(got_ed, want_ed)
+
+
+def test_corpus_dedup_distributed_cc_rung(ray_session, monkeypatch):
+    """Round-4 VERDICT item 2: the corpus-ops dedup family (int64 doc_id
+    edges) routes through stages.clustering.collect_components — forcing
+    RCB_DISTRIBUTED_CC_EDGES=0 (closure via min-label propagation, never a
+    driver edge list) must produce EXACTLY the default-path clusters for
+    both minhash and simhash."""
+    import pandas as pd
+
+    from repostcheckerbot_ray.pipelines import corpus_ops
+
+    SF = "/root/testdata/sf0.001"
+
+    def run():
+        m = (corpus_ops.minhash_dedup_clusters(SF).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        s = (corpus_ops.simhash_dedup_clusters(SF).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        return m, s
+
+    monkeypatch.delenv("RCB_DISTRIBUTED_CC_EDGES", raising=False)
+    base_m, base_s = run()
+    assert (base_m["doc_id"] != base_m["cluster_id"]).sum() > 0, \
+        "corpus must contain near-dups for this pin to bite"
+    monkeypatch.setenv("RCB_DISTRIBUTED_CC_EDGES", "0")
+    lp_m, lp_s = run()
+    pd.testing.assert_frame_equal(base_m, lp_m)
+    pd.testing.assert_frame_equal(base_s, lp_s)
