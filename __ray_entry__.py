@@ -95,6 +95,57 @@ def _simhash_cte() -> str | None:
     return f"sims(doc_id, simhash) AS (SELECT * FROM (VALUES {rows}) v)"
 
 
+def _payload_cte() -> str | None:
+    """VALUES-CTE of (url, payload_hash, content_hash) for every
+    payload-modality page of the synthetic corpus, computed by the SAME
+    dispatch constants and hash functions the fingerprint stage uses
+    (fingerprint_stage dispatch order: valid text → text, gif url →
+    chunked, img url → payload; functions.fingerprint.payload_hash64 —
+    itself unit-pinned). The sketches enter the oracle as shared INPUT
+    (the _simhash_cte pattern); everything the distributed pipeline could
+    get wrong — 8×8-bit band blocking recall (pigeonhole-lossless at
+    threshold 5 < 8 bands), in-part Hamming verification, D4 keep-max
+    against the exact star edges — is then checked by DuckDB's independent
+    brute-force O(n²) ``bit_count(xor)`` pair scan (reference F2,
+    /root/reference/database.py:585-603).
+
+    Corpus-coherence note: _corpus_dir writes the SAME deterministic
+    default-spec corpus for every tag, so the queries() side (tag from its
+    sf_dir) and this CTE (tag from GRAFT_ORACLE_SF_DIR) always see
+    identical pages even if the tags differ."""
+    import hashlib
+
+    from repostcheckerbot_ray.functions.fingerprint import payload_hash64
+    from repostcheckerbot_ray.functions.textnorm import is_valid_text
+    from repostcheckerbot_ray.stages.fingerprint_stage import (
+        _is_gif_url,
+        _is_img_url,
+    )
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    d = _corpus_dir(tag)
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    rows = []
+    for f in sorted(glob.glob(os.path.join(d, "pages", "*.parquet"))):
+        t = _pq.read_table(f, columns=["url", "text", "html"])
+        for url, text, html in zip(t["url"].to_pylist(), t["text"].to_pylist(),
+                                   t["html"].to_pylist()):
+            if is_valid_text(text) or _is_gif_url(url) or not _is_img_url(url):
+                continue
+            data = bytes(html) if html is not None else b""
+            u = url.replace("'", "''")
+            rows.append(f"('{u}',{payload_hash64(data)}::UBIGINT,"
+                        f"'{hashlib.sha256(data).hexdigest()}')")
+    if not rows:
+        return None
+    return ("pl(url, ph, chash) AS (SELECT * FROM (VALUES "
+            + ",".join(rows) + ") v)")
+
+
 def _corpus_dir(tag: str) -> str:
     """Deterministic synthetic pages corpus (FIXTURES.md) cached under /tmp —
     the input-hint-shaped table for flagship/multimodal queries."""
@@ -183,6 +234,37 @@ def _repost_exact_edges(sf_dir: str) -> Any:
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _repost_payload_edges(sf_dir: str) -> Any:
+    """The flagship's PAYLOAD edge slice (F2) over the synthetic corpus:
+    the REAL pipeline (payload_hash64 fingerprints → 8×8-bit band exchange
+    → in-part Hamming < 5 verification → D4 keep-max) filtered to
+    kind='payload'. The DuckDB oracle brute-forces ALL O(n²) payload pairs
+    over the shared sketch CTE and independently removes the exact-star
+    pairs that D4 resolves to kind='exact' — equality proves band blocking
+    loses nothing at threshold 5 and keep-max picks the right kind.
+    Runs with text_in_image=False (≙ the reference's BOT_TEXT_IN_IMAGE
+    sub-setting off, /root/reference/config.py:18): image posts match on
+    payload hashes ONLY. With it on (the flagship default), the extractor
+    pulls byte-garbage "text" out of the random payload fixtures, the
+    near-identical variants then SequenceMatcher-score ~99 in the text
+    channel, and D4 keep-max rightly resolves every payload pair to
+    kind='text' — the payload slice would be empty and text-dependent.
+    Off, the slice is exactly the SQL-expressible F2 relation."""
+    import pyarrow.compute as pc
+
+    from repostcheckerbot_ray.pipelines.repost import RepostConfig, run_repost_pipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    d = _corpus_dir(tag)
+    res = run_repost_pipeline(
+        f"{d}/pages", f"/tmp/rcb_payload_edges_{tag}",
+        RepostConfig(text_in_image=False), write_outputs=False)
+    return res["edges"].map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "payload"))
+                   .select(["url_a", "url_b", "score"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         # relational ops (SQL-oracled)
@@ -226,13 +308,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": lambda sf: corpus_ops.ngram_jaccard_pairs(sf),
         "knn_ivf": lambda sf: embedding_ops.knn_ivf(sf),
         "knn_lsh": lambda sf: embedding_ops.knn_lsh(sf),
+        # driver-visible recall gates for the approximate ANN paths: each
+        # runs the approximate index AND the exact brute-force scan in one
+        # callable, emits per-query recall@10, and RAISES below the
+        # corpus-calibrated floor (same floors as tests/test_entry.py) —
+        # a recall regression fails the driver's rows-only check loudly
+        # instead of silently shipping a worse index
+        "knn_ivf_recall": lambda sf: _knn_recall(sf, "ivf", floor=0.5),
+        "knn_lsh_recall": lambda sf: _knn_recall(sf, "lsh", floor=0.4),
         "repost_clusters": lambda sf: _flagship(sf)["clusters"],
         "repost_edges": lambda sf: _flagship(sf)["edges"],
         "repost_exact_edges": _repost_exact_edges,       # D2/F4, SQL-oracled
+        "repost_payload_edges": _repost_payload_edges,   # F2, SQL-oracled
         "repost_delta_clusters": _repost_delta,                  # A2/§2.G
         "media_features": _media_features,
+        "media_features_meta": _media_features_meta,     # SQL-oracled slice
     }
     return q
+
+
+def _knn_recall(sf_dir: str, which: str, floor: float) -> Any:
+    """Per-query recall@10 of an approximate ANN index vs the exact
+    brute-force scan (the already-oracled knn_cosine), plus an AGGREGATE
+    floor assertion: overall recall (|approx ∩ exact| / |exact|) must meet
+    the corpus-calibrated floor or this callable raises — making the
+    approximation quality visible to (and enforced by) the driver's
+    correctness run, not just pytest."""
+    import pandas as pd
+
+    brute = embedding_ops.knn_brute_force(sf_dir).to_pandas()
+    approx = (embedding_ops.knn_ivf(sf_dir) if which == "ivf"
+              else embedding_ops.knn_lsh(sf_dir)).to_pandas()
+    b = set(zip(brute["query_id"], brute["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    overall = len(b & a) / len(b) if b else 0.0
+    assert overall >= floor, (
+        f"knn_{which} overall recall {overall:.3f} < floor {floor}")
+    rows = []
+    for qid, grp in brute.groupby("query_id"):
+        want = set(grp["neighbor_id"])
+        got = {n for q, n in a if q == qid}
+        rows.append((int(qid), len(want & got) / len(want) if want else 0.0))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "recall_at_10": pa.array([r[1] for r in rows], pa.float64()),
+    })
 
 
 def _repost_delta(sf_dir: str) -> Any:
@@ -277,6 +397,49 @@ def _media_features(sf_dir: str) -> Any:
     return media_features(pages)
 
 
+def _media_features_meta(sf_dir: str) -> Any:
+    """The SQL-expressible slice of media_features: every column except the
+    float stub embedding — n_bytes, payload_hash, and the stub-decoded
+    width/height/n_frames, whose derivations (64 + hash bit-fields;
+    ceil(n_bytes/256) frames) the DuckDB oracle recomputes independently
+    from a shared (url, n_bytes, payload_hash) VALUES CTE. Verifies the
+    actor-pool stage computes the documented functions over EVERY corpus
+    row with the exact schema (the feature projection stays rows-only —
+    float32 matmul is not SQL-reproducible bit-exactly)."""
+    return _media_features(sf_dir).map_batches(
+        lambda t: t.select(["url", "n_bytes", "payload_hash", "width",
+                            "height", "n_frames"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _media_meta_cte() -> str | None:
+    """VALUES-CTE (url, n_bytes, ph) over the synthetic corpus — shared
+    input for the media_features_meta oracle (same pattern/corpus-coherence
+    note as _payload_cte; payload_hash64 is the shared sketch function,
+    unit-pinned)."""
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    from repostcheckerbot_ray.functions.fingerprint import payload_hash64
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    d = _corpus_dir(tag)
+    rows = []
+    for f in sorted(glob.glob(os.path.join(d, "pages", "*.parquet"))):
+        t = _pq.read_table(f, columns=["url", "html"])
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            data = bytes(html) if html is not None else b""
+            u = url.replace("'", "''")
+            rows.append(f"('{u}',{len(data)},"
+                        f"{payload_hash64(data)}::UBIGINT)")
+    if not rows:
+        return None
+    return ("mm(url, n_bytes, ph) AS (SELECT * FROM (VALUES "
+            + ",".join(rows) + ") v)")
+
+
 def oracle_sql() -> dict[str, str]:
     out = {}
     _sims = _simhash_cte()
@@ -310,6 +473,44 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT COUNT(*) FROM documents) <> (SELECT COUNT(*) FROM sims)"
             " OR EXISTS (SELECT 1 FROM documents d LEFT JOIN sims s"
             "            ON s.doc_id = d.doc_id WHERE s.doc_id IS NULL)"
+        )
+    _pl = _payload_cte()
+    if _pl is not None:
+        # brute-force O(n²) Hamming pair scan over the shared payload
+        # sketches, minus the exact-star pairs D4 resolves to kind='exact'
+        # (hub = min url per identical-bytes group; member-member pairs of
+        # such a group stay payload at d=0 → score 100, matching keep-max)
+        out["repost_payload_edges"] = (
+            "WITH " + _pl + ","
+            "pairs AS ("
+            "  SELECT a.url AS url_a, b.url AS url_b,"
+            "    CAST(bit_count(xor(a.ph, b.ph)) AS DOUBLE) AS d"
+            "  FROM pl a JOIN pl b ON a.url < b.url"
+            "  WHERE bit_count(xor(a.ph, b.ph)) < 5),"
+            "hubs AS (SELECT chash, MIN(url) AS hub FROM pl"
+            "         GROUP BY chash HAVING COUNT(*) > 1),"
+            "star AS (SELECT h.hub AS url_a, m.url AS url_b"
+            "         FROM pl m JOIN hubs h"
+            "         ON h.chash = m.chash AND m.url <> h.hub) "
+            "SELECT p.url_a, p.url_b, (5.0 - p.d) / 5.0 * 100.0 AS score "
+            "FROM pairs p LEFT JOIN star s"
+            "  ON s.url_a = p.url_a AND s.url_b = p.url_b "
+            "WHERE s.url_a IS NULL"
+        )
+    _mm = _media_meta_cte()
+    if _mm is not None:
+        # recompute the stub-decode derivations independently: width/height
+        # are hash bit-fields (multimodal.MediaFeatureExtractor._decode_image),
+        # n_frames = ceil(n_bytes / 256) with 0 for empty payloads
+        # (functions.fingerprint.chunk_hashes)
+        out["media_features_meta"] = (
+            "WITH " + _mm + " "
+            "SELECT url, CAST(n_bytes AS BIGINT) AS n_bytes,"
+            "  ph AS payload_hash,"
+            "  CAST(64 + (ph & 1023::UBIGINT) AS INT) AS width,"
+            "  CAST(64 + ((ph >> 10) & 1023::UBIGINT) AS INT) AS height,"
+            "  CAST((n_bytes + 255) // 256 AS INT) AS n_frames "
+            "FROM mm"
         )
     out.update({
         "exact_dedup_by_key": (
