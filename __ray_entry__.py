@@ -28,11 +28,13 @@ _SHIFT = corpus_ops.COPY_SHIFT
 # derived from the SAME constants the engine uses (functions.textnorm) so
 # the repost_exact_edges oracle cannot drift from the fingerprint dispatch.
 from repostcheckerbot_ray.functions.textnorm import (  # noqa: E402
+    NONWS_RUN_REGEX,
     TEXT_SENTINELS,
-    _WHITESPACE_CODEPOINTS,
+    WS_REGEX_CLASS,
 )
 
-_WS_RE = "[" + "".join(f"\\x{{{c:x}}}" for c in _WHITESPACE_CODEPOINTS) + "]"
+_WS_RE = WS_REGEX_CLASS   # explicit isspace() class, shared with the engine
+_NONWS_RE = NONWS_RUN_REGEX  # one token = maximal non-whitespace run
 _SENTINELS_SQL = ", ".join(
     "'" + s.replace("'", "''") + "'" for s in sorted(TEXT_SENTINELS))
 
@@ -551,10 +553,13 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(MAX(n_chars) AS BIGINT) AS max_chars "
             "FROM documents GROUP BY source"
         ),
+        # tokens = maximal non-whitespace runs over the engine's explicit
+        # isspace() class (len(text.split()) semantics) — same RE2 pattern
+        # the engine's count_substring_regex runs, so parity is exact on
+        # any whitespace, not just ASCII \s
         "token_counts": (
-            "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 "
-            "ELSE array_length(string_split_regex(trim(text), '\\s+')) END::BIGINT "
-            "AS n_tokens FROM documents"
+            f"SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            f"'{_NONWS_RE}')) AS BIGINT) AS n_tokens FROM documents"
         ),
         "char_counts": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents"
@@ -569,10 +574,12 @@ def oracle_sql() -> dict[str, str]:
         "ttl_filter_events": (
             f"SELECT event_id, ts FROM events WHERE ts >= TIMESTAMP '{corpus_ops.TTL_CUTOFF}'"
         ),
+        # token identity = the same non-whitespace-run extraction as
+        # token_counts (explicit isspace() class, never ASCII-only \s)
         "repetition_stats": (
             "WITH toks AS ("
-            "  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok"
-            "  FROM documents WHERE length(trim(text)) > 0),"
+            f"  SELECT doc_id, unnest(regexp_extract_all(text, "
+            f"'{_NONWS_RE}')) AS tok FROM documents),"
             "s AS (SELECT doc_id, COUNT(*) AS n_tokens,"
             "      COUNT(DISTINCT tok) AS n_distinct FROM toks GROUP BY doc_id) "
             "SELECT d.doc_id,"

@@ -36,6 +36,22 @@ def _whitespace_chars() -> str:
     return "".join(map(chr, _WHITESPACE_CODEPOINTS))
 
 
+# RE2 character class over EXACTLY the isspace() codepoints, shared by the
+# engine's Arrow regex kernels AND the DuckDB oracles (both embed RE2, so
+# tokenization is engine-level identical on both sides). The engine uses
+# these instead of Arrow's utf8_split_whitespace / utf8_trim_whitespace:
+# the Unicode-property kernels were observed returning NONDETERMINISTIC
+# results for non-ASCII whitespace (U+00A0 intermittently not treated as a
+# split point) inside Ray map workers on this host — same bytes, same
+# kernel, different result per call (round-5; caught by
+# tests/test_curation_properties.py once non-ASCII whitespace entered the
+# Hypothesis strategy). An explicit codepoint class compiled by RE2 has no
+# lazy Unicode-table dependency and cannot flake.
+_WS_HEX = "".join(f"\\x{{{c:x}}}" for c in _WHITESPACE_CODEPOINTS)
+WS_REGEX_CLASS = f"[{_WS_HEX}]"      # one whitespace char
+NONWS_RUN_REGEX = f"[^{_WS_HEX}]+"   # one token = maximal non-whitespace run
+
+
 def _whitespace_chars_full_scan() -> str:
     """The authoritative definition; used only by tests to pin the constant."""
     return "".join(c for c in map(chr, range(sys.maxunicode + 1)) if c.isspace())

@@ -31,6 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.scoring import hamming64_matrix
+from ..functions.textnorm import NONWS_RUN_REGEX, WS_REGEX_CLASS
 from ..functions.textstats import (
     doc_fingerprint,
     lang_id,
@@ -274,16 +275,24 @@ def top_terms_per_lang(sf_dir: str, k: int = 5):
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(pc.utf8_lower(batch["text"]))
+        # tokens = maximal non-whitespace runs over the EXPLICIT isspace()
+        # codepoint class (RE2) — not utf8_split_whitespace, whose Unicode
+        # property lookup flakes in workers on this host (see
+        # textnorm.WS_REGEX_CLASS). Lowercasing runs on the flat token
+        # array via CPython (deterministic, mirrors the oracle's lower()).
+        toks = pc.split_pattern_regex(batch["text"], WS_REGEX_CLASS + "+")
         reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         flat = np.asarray(
             pc.list_flatten(toks).to_numpy(zero_copy_only=False),
             dtype=object)
         langs = np.repeat(
             np.asarray(batch["lang"].to_pylist(), dtype=object), reps)
-        # Python str.split() never yields '' — drop Arrow's boundary empties
+        # regex split emits boundary empties ('' around leading/trailing
+        # whitespace) — Python str.split() never does; drop them
         mask = flat != ""
-        g = (pd.DataFrame({"lang": langs[mask], "tok": flat[mask]})
+        g = (pd.DataFrame({"lang": langs[mask],
+                           "tok": pd.Series(flat[mask], dtype=object)
+                           .str.lower().to_numpy()})
              .groupby(["lang", "tok"], sort=False).size())
         idx = g.index
         return pa.table({
@@ -458,16 +467,14 @@ def length_quantiles_sketch(sf_dir: str, quantiles: tuple = (0.5, 0.9)):
 
 
 def token_counts(sf_dir: str):
-    """Whitespace token count, fully vectorized (Arrow kernels only)."""
+    """Whitespace token count, fully vectorized: ONE RE2 kernel counting
+    maximal non-whitespace runs — exactly len(text.split()) over the
+    explicit isspace() codepoint class (textnorm.NONWS_RUN_REGEX; shared
+    with the oracle's regexp_extract_all, so parity is engine-level)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def count(batch: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(batch["text"])
-        n = pc.list_value_length(toks)
-        # Python str.split() on ''/whitespace-only gives []; Arrow gives ['']
-        # for '' — align by zeroing rows with no non-space chars
-        trimmed = pc.utf8_trim_whitespace(batch["text"])
-        n = pc.if_else(pc.equal(pc.utf8_length(trimmed), 0), 0, n)
+        n = pc.count_substring_regex(batch["text"], NONWS_RUN_REGEX)
         return pa.table(
             {"doc_id": batch["doc_id"], "n_tokens": pc.cast(n, pa.int64())}
         )
@@ -516,16 +523,18 @@ def repetition_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def stats(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch["text"])
-        toks = pc.utf8_split_whitespace(trimmed).combine_chunks()
-        counts = toks.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
-        # empty/whitespace-only docs: Arrow yields [''] — zero them
-        empty = pc.equal(pc.utf8_length(trimmed), 0).to_numpy(zero_copy_only=False)
-        counts[empty] = 0
+        # tokens = non-empty runs over the explicit isspace() class (RE2 —
+        # see textnorm.WS_REGEX_CLASS for why not utf8_split_whitespace);
+        # boundary empties from the regex split are dropped by the mask,
+        # which also zeroes empty/whitespace-only docs
+        toks = pc.split_pattern_regex(
+            batch["text"], WS_REGEX_CLASS + "+").combine_chunks()
+        vl = toks.value_lengths().to_numpy(zero_copy_only=False)
         flat = toks.flatten().to_numpy(zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(batch.num_rows), toks.value_lengths().to_numpy(zero_copy_only=False))
-        keep = np.repeat(~empty, toks.value_lengths().to_numpy(zero_copy_only=False))
+        doc_idx = np.repeat(np.arange(batch.num_rows), vl)
+        keep = np.asarray(flat, dtype=object) != ""
         flat, doc_idx = flat[keep], doc_idx[keep]
+        counts = np.bincount(doc_idx, minlength=batch.num_rows).astype(np.int64)
         if len(flat):
             _, codes = np.unique(flat, return_inverse=True)
             pair = doc_idx.astype(np.int64) * (codes.max() + 1) + codes

@@ -40,7 +40,6 @@ from ..functions.fingerprint import (
     chunk_hashes,
     fingerprint_text_many,
     payload_hash64,
-    token_hash,
 )
 from ..functions.textnorm import canonicalize, is_valid_text, normalize_url, tokenize
 
@@ -119,7 +118,6 @@ class FingerprintBatcher:
         simhash = np.zeros(n, dtype=np.uint64)
         payload_hash = np.zeros(n, dtype=np.uint64)
         chashes: list[list[int]] = [[] for _ in range(n)]
-        part = np.zeros(n, dtype=np.int32)
 
         # text channel — for "text" docs AND for payload/chunked docs with
         # extractable text (the reference's ImageText secondary channel:
@@ -132,9 +130,14 @@ class FingerprintBatcher:
         text_rows: list[int] = []
         token_lists: list[list[str]] = []
 
+        # url→part in ONE vectorized pass (stages.pair_join.str_hash64 — the
+        # engine's single string partition hash; was per-row blake2b)
+        from .pair_join import str_hash64
+
+        part = (str_hash64(urls) % np.uint64(self._num_parts)).astype(np.int32)
+
         for i in range(n):
             url, text, html = urls[i], texts[i], htmls[i]
-            part[i] = token_hash(url) % self._num_parts
             valid = is_valid_text(text)
             raw = text if valid else self._extractor.extract(html)
             tn = canonicalize(raw)

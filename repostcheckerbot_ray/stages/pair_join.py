@@ -35,30 +35,50 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions.fingerprint import splitmix64, token_hash
+from ..functions.fingerprint import splitmix64
+
+
+def str_hash64(vals) -> np.ndarray:  # noqa: ANN001
+    """Vectorized deterministic 64-bit hash of a string column (ONE C pass
+    — pd.util.hash_array with its fixed default key, independent of
+    PYTHONHASHSEED). categorize=False: factorize would collapse strings
+    differing past an embedded NUL (repo memory / dedup_edges note).
+
+    This is the ONE url→hash used for every string partition key in the
+    engine (fingerprint exchange, resume filters, text-attach routing, pair
+    parts) — all sites derive from it, so checkpoint partition layout and
+    exchange keying can never disagree. Replaced the per-row blake2b
+    token_hash in round 5 (ckpt schema v3): partitioning only routes rows,
+    outputs are partition-invariant (pinned by test_part_count_invariance
+    and the determinism suite)."""
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(vals, dtype=object),
+                              categorize=False).astype(np.uint64)
 
 
 def key_parts(arr, num_parts: int) -> np.ndarray:  # noqa: ANN001
-    """Partition ids for a key column. Integer keys hash fully vectorized
-    (splitmix64 over the raw values — the text side of the union join is
-    corpus-sized, so a per-row Python hash there would be a hot-path loop);
-    string keys fall back to the per-row token hash (used only on
-    candidate-sized relations in the flagship path)."""
+    """Partition ids for a key column, fully vectorized for BOTH key types:
+    integer keys via splitmix64 over the raw values, string keys via ONE
+    pd.util.hash_array pass (str_hash64) — no per-row Python on any path."""
     if pa.types.is_integer(arr.type):
         v = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
         return (splitmix64(v) % np.uint64(num_parts)).astype(np.int32)
-    return np.array([token_hash(str(x)) % num_parts for x in arr.to_pylist()],
-                    dtype=np.int32)
+    h = str_hash64(arr.to_numpy(zero_copy_only=False))
+    return (h % np.uint64(num_parts)).astype(np.int32)
 
 
 def pair_part_of(a, b, num_parts: int) -> int:  # noqa: ANN001
     """Deterministic pair partition — independent of which band discovered
-    the pair, so resume filtering and exchange keying agree."""
+    the pair, so resume filtering and exchange keying agree. Defined as the
+    singleton case of :func:`pair_parts` (one implementation, no drift)."""
     if isinstance(a, (int, np.integer)):
         x = splitmix64(np.array([a], dtype=np.uint64))
         y = splitmix64(np.array([int(b) + 0x9E37, ], dtype=np.uint64))
         return int((x ^ y)[0]) % num_parts
-    return token_hash(f"{a}\x00{b}") % num_parts
+    x = splitmix64(str_hash64([a]))
+    y = splitmix64(str_hash64([b]) + np.uint64(0x9E37))
+    return int((x ^ y)[0] % np.uint64(num_parts))
 
 
 def pair_parts(a_arr, b_arr, num_parts: int) -> np.ndarray:  # noqa: ANN001
@@ -69,9 +89,10 @@ def pair_parts(a_arr, b_arr, num_parts: int) -> np.ndarray:  # noqa: ANN001
         y = splitmix64(b_arr.to_numpy(zero_copy_only=False).astype(np.uint64)
                        + np.uint64(0x9E37))
         return ((x ^ y) % np.uint64(num_parts)).astype(np.int32)
-    return np.array(
-        [token_hash(f"{a}\x00{b}") % num_parts
-         for a, b in zip(a_arr.to_pylist(), b_arr.to_pylist())], dtype=np.int32)
+    x = splitmix64(str_hash64(a_arr.to_numpy(zero_copy_only=False)))
+    y = splitmix64(str_hash64(b_arr.to_numpy(zero_copy_only=False))
+                   + np.uint64(0x9E37))
+    return ((x ^ y) % np.uint64(num_parts)).astype(np.int32)
 
 
 def explode_needs(num_parts_text: int, num_parts_pair: int,

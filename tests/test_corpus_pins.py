@@ -120,21 +120,36 @@ def test_length_quantiles_sketch_error_bound(ray_session):
             assert abs(a - e) <= max(2.0, 0.025 * e), (src, col, a, e)
 
 
-def test_arrow_ws_set_pin():
-    """The top_terms_per_lang DuckDB oracle tokenizes with a regex class
-    built from textnorm._WHITESPACE_CODEPOINTS; the engine tokenizes with
-    Arrow utf8_split_whitespace. This pins the two sets EQUAL over the full
-    Unicode range (one vectorized Arrow call) so the oracle cannot silently
-    diverge on exotic whitespace (round-4 ADVICE)."""
+def test_regex_tokenizer_matches_str_split():
+    """The engine tokenizes text columns with RE2 over the EXPLICIT
+    isspace() codepoint class (textnorm.WS_REGEX_CLASS / NONWS_RUN_REGEX —
+    Arrow's utf8_split_whitespace was observed returning nondeterministic
+    results for non-ASCII whitespace inside Ray workers on this host, so
+    the property-table kernels are banned from oracled paths). This pins
+    the RE2 class's token extraction and token count EQUAL to Python
+    str.split() over the full Unicode range."""
     import sys
 
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from repostcheckerbot_ray.functions.textnorm import _WHITESPACE_CODEPOINTS
+    from repostcheckerbot_ray.functions.textnorm import (
+        NONWS_RUN_REGEX,
+        WS_REGEX_CLASS,
+        _WHITESPACE_CODEPOINTS,
+    )
 
     cps = [c for c in range(sys.maxunicode + 1) if not 0xD800 <= c <= 0xDFFF]
-    arr = pa.array([f"a{chr(c)}b" for c in cps], pa.string())
-    n_parts = pc.list_value_length(pc.utf8_split_whitespace(arr)).to_numpy()
-    arrow_ws = {c for c, n in zip(cps, n_parts) if n == 2}
-    assert arrow_ws == set(_WHITESPACE_CODEPOINTS)
+    texts = [f"a{chr(c)}b" for c in cps]
+    arr = pa.array(texts, pa.string())
+    # RE2 split on the class ⇔ the codepoint is whitespace
+    n_parts = pc.list_value_length(
+        pc.split_pattern_regex(arr, WS_REGEX_CLASS + "+")).to_numpy()
+    re2_ws = {c for c, n in zip(cps, n_parts) if n == 2}
+    assert re2_ws == set(_WHITESPACE_CODEPOINTS)
+    # non-ws-run COUNT == len(str.split()) on boundary/empty/all-ws shapes
+    edge = ["", " ", "\xa0", "\xa0a", "a\xa0", " a  b ", "　x　",
+            "a", "nel\x85nel", "\t\n a   b "]
+    got = pc.count_substring_regex(
+        pa.array(edge, pa.string()), NONWS_RUN_REGEX).to_pylist()
+    assert got == [len(s.split()) for s in edge]

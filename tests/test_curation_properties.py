@@ -18,9 +18,11 @@ from hypothesis import strategies as st
 _TEXTS = st.sampled_from([
     "", "a", "aa b", "the same text", "the same  text", "x y z",
     "the same text ", "THE SAME TEXT",
-    # non-ASCII whitespace (NBSP / ideographic space / NEL): the engine
-    # tokenizes with Arrow utf8_split_whitespace (Unicode set) — the oracle
-    # regex must split identically (round-4 ADVICE divergence)
+    # non-ASCII whitespace (NBSP / ideographic space / NEL): engine and
+    # oracle both tokenize with RE2 over textnorm.WS_REGEX_CLASS — these
+    # literals caught Arrow utf8_split_whitespace returning NONDETERMINISTIC
+    # results for U+00A0 in Ray workers (round 5), which is why the
+    # property kernels are banned from oracled paths
     "a b", "　x　", "nelnel", " ", "a   b",
 ])
 _DOC = st.tuples(_TEXTS, st.sampled_from(["en", "de"]),
@@ -81,3 +83,17 @@ def test_top_terms_matches_oracle(ray_session, tmp_path_factory, rows):
 @given(st.lists(_DOC, min_size=1, max_size=40))
 def test_length_band_matches_oracle(ray_session, tmp_path_factory, rows):
     _check(rows, tmp_path_factory.mktemp("lb"), "length_band_filter")
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(_DOC, min_size=1, max_size=40))
+def test_token_counts_matches_oracle(ray_session, tmp_path_factory, rows):
+    _check(rows, tmp_path_factory.mktemp("tc"), "token_counts")
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(_DOC, min_size=1, max_size=40))
+def test_repetition_stats_matches_oracle(ray_session, tmp_path_factory, rows):
+    _check(rows, tmp_path_factory.mktemp("rp"), "repetition_stats")

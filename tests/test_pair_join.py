@@ -70,10 +70,10 @@ def test_checkpoint_attacher_reads_part_files(ray_session, tmp_path):
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    from repostcheckerbot_ray.functions.fingerprint import token_hash
     from repostcheckerbot_ray.stages.pair_join import (
         explode_needs,
         make_checkpoint_attacher,
+        str_hash64,
         verify_pairs_distributed,
     )
 
@@ -82,7 +82,8 @@ def test_checkpoint_attacher_reads_part_files(ray_session, tmp_path):
     # co-partitioned checkpoint layout: part=<k>.parquet by hash(url)
     parts: dict[int, list] = {p: [] for p in range(num_parts)}
     for u in urls:
-        parts[token_hash(u) % num_parts].append(u)
+        # the engine's canonical string partition hash (ckpt v3)
+        parts[int(str_hash64([u])[0]) % num_parts].append(u)
     for p, us in parts.items():
         pq.write_table(
             pa.table({"url": pa.array(us),
