@@ -308,10 +308,19 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
                         extra_fingerprints=None,
                         extra_edges=None,
                         tombstones=None,
-                        _fp_ckpt_cls=None) -> dict:  # noqa: ANN001
+                        _fp_ckpt_cls=None,
+                        emit_clusters: bool = True) -> dict:  # noqa: ANN001
     """Run the flagship pipeline; returns dict with fingerprints / edges /
     clusters Datasets and the metrics table. Ray must already be initialized
     (driver contract) or auto-inits locally.
+
+    ``emit_clusters=False`` (with ``write_outputs``) stops after the edge
+    sink: no corpus-sized cluster relation, no report — ``clusters`` comes
+    back None. This is the re-poll loop's shape (the reference's per-poll
+    cycle resolves new posts against the accumulated index and records
+    matches, app.py:210 + database.py:328-405; it never recomputes a
+    corpus-wide cluster view per poll) — run the default full emit
+    periodically, or whenever the cluster/report outputs are consumed.
 
     Delta mode (A2/§2.G): ``extra_fingerprints`` is a persisted fingerprint
     Dataset (history) unioned into blocking/scoring WITHOUT re-fingerprinting;
@@ -410,10 +419,20 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
     # relation is available to re-use (extra_edges); otherwise history rows
     # stay untagged (default is_new=True in blocking) and the union is
     # fully re-scored — slower, still correct.
+    # a CALLABLE extra_fingerprints is evaluated HERE — after the delta
+    # fingerprint stage materialized its exchange — so a history relation
+    # whose map depends on that stage's side outputs (the D6 upgrade files)
+    # can never execute early via schema inference or sampling
+    if callable(extra_fingerprints):
+        extra_fingerprints = extra_fingerprints()
     delta_mode = extra_fingerprints is not None and extra_edges is not None
     delta_fp = fingerprints if delta_mode else None  # pre-union delta relation
     if extra_fingerprints is not None:
-        cols = [f.name for f in fp_schema]
+        # a slim extra relation (run_repost_delta prunes text_norm at the
+        # history scan) slims the whole union — everything downstream of it
+        # works on hashes + url/warc_ts, never text bytes
+        extra_cols = set(extra_fingerprints.schema().names)
+        cols = [f.name for f in fp_schema if f.name in extra_cols]
         if delta_mode:
             def _tag(val: bool):
                 def f(t: pa.Table) -> pa.Table:
@@ -430,8 +449,11 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
             # consumer streams pinned blocks instead of re-reading and
             # re-tagging the history parquet per pass (measured multi-second
             # on delta runs; the full run's relation is already materialized
-            # via its written checkpoint blocks)
-            fingerprints = fingerprints.materialize()
+            # via its written checkpoint blocks). In the edges-only emit the
+            # union has ONE in-pipeline consumer (blocking) — materializing
+            # would only add a barrier.
+            if emit_clusters:
+                fingerprints = fingerprints.materialize()
         else:
             fingerprints = fingerprints.union(
                 extra_fingerprints.select_columns(cols))
@@ -536,30 +558,13 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
         return ray.put(delta_bands)
 
     def ed_filter(done: set[int]):
-        rows = explode_block_rows(fingerprints.select_columns(_BLOCK_COLS),
-                                  num_parts=cfg.num_parts)
-        if delta_mode:
-            import numpy as _np
-
-            band_ref = _delta_band_ref()
-
-            def prune(t: pa.Table) -> pa.Table:
-                bands = ray.get(band_ref)  # np.unique output -> sorted
-                bk = t["band_key"].to_numpy(zero_copy_only=False)
-                new = t["is_new"].to_numpy(zero_copy_only=False)
-                # searchsorted membership: O(n log m) per batch with NO
-                # re-sort of the broadcast key set (np.isin sorts both
-                # sides on every call — measured seconds per delta run)
-                if len(bands):
-                    pos = _np.searchsorted(bands, bk)
-                    pos[pos == len(bands)] = 0
-                    hit = bands[pos] == bk
-                else:
-                    hit = _np.zeros(len(bk), dtype=bool)
-                return t.filter(pa.array(new | hit))
-
-            rows = rows.map_batches(prune, batch_format="pyarrow",
-                                    zero_copy_batch=True)
+        # delta runs: the touched-band prune is FUSED into the explode via
+        # the broadcast key set — history rows in untouched bands are never
+        # materialized, not even transiently (see explode_block_rows)
+        rows = explode_block_rows(
+            fingerprints.select_columns(_BLOCK_COLS),
+            num_parts=cfg.num_parts,
+            keep_keys_ref=_delta_band_ref() if delta_mode else None)
         if not done:
             return rows
         done_arr = pa.array(sorted(done), pa.int32())
@@ -755,6 +760,15 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
             edges = dedup_edges(all_edges, out_dir=edges_dir).materialize()
         _seed_if_empty(edges_dir, EDGES_SCHEMA)
         _mark("edges_write")
+        if not emit_clusters:
+            pq.write_table(metrics.table(),
+                           os.path.join(out_dir, "metrics.parquet"))
+            return {
+                "fingerprints": fingerprints,
+                "edges": edges,
+                "clusters": None,
+                "metrics": metrics,
+            }
         from ..stages.clustering import assign_clusters_with_meta
 
         clusters, _comp, _meta = assign_clusters_with_meta(
@@ -840,95 +854,114 @@ def run_repost_pipeline(pages_path, out_dir: str, cfg: RepostConfig | None = Non
 _SOURCE_RANK = {"top": 3, "hot": 2, "new": 1}
 
 
-def _collect_source_upgrades(delta_pages_path, hist_ckpt_dir: str,  # noqa: ANN001
-                             cfg: RepostConfig) -> dict:
-    """url -> upgraded source, for delta urls ALREADY logged in history
-    whose rescan source outranks the logged one (D6 in the delta path:
-    the reference *updates Location* and otherwise ignores the repeat post,
-    database.py:336-358 — first-writer-wins on everything else).
+def _reset_dir_on_hash_change(path: str, cfg_hash: str) -> None:
+    """Wipe a side-channel dir when the config hash changed; (re)write the
+    guard file. Keeps resumed runs' side files, invalidates everything else
+    (a recompute under a new hash may leave some parts empty and therefore
+    never overwrite their stale files)."""
+    import shutil
 
-    Co-partitioned like the cross-run anti-join: delta (url, source) rows
-    group by the shared part key and compare against the matching history
-    checkpoint part FILE — zero history shuffle; output is delta-sized."""
+    guard = os.path.join(path, "_hash.json")
+    try:
+        with open(guard) as f:
+            if json.load(f).get("config_hash") == cfg_hash:
+                return
+    except (OSError, json.JSONDecodeError):
+        pass
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    tmp = guard + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"config_hash": cfg_hash}, f)
+    os.replace(tmp, guard)
+
+
+def _part_upgrades(up_dir: str, part: int, g: pa.Table, hist_tbl) -> None:  # noqa: ANN001
+    """Write part=<k>.parquet under ``up_dir``: url -> upgraded source for
+    delta urls ALREADY logged in history whose rescan source outranks the
+    logged one (D6 in the delta path: the reference *updates Location* and
+    otherwise ignores the repeat post, database.py:336-358 —
+    first-writer-wins on everything else). Runs inside the delta
+    fingerprint exchange's per-part transform, reusing the history part
+    table that the logged-url anti-join already read — the standalone
+    pre-job this replaces re-read and re-exchanged the whole delta input.
+    Atomic write-then-rename; the part's checkpoint manifest commits
+    AFTER this, so a completed fingerprint part implies its upgrade file."""
+    import uuid
+
     import pandas as pd
-    import ray  # noqa: F401
 
-    from ..sources import read_pages
-
-    # same admission TTL as the pipeline: a page the run never admitted
-    # must not drive a provenance upgrade either. Pruned read: url +
-    # warc_ts (+ source when the input carries one) — html never leaves
-    # storage for this pass.
-    if hasattr(delta_pages_path, "map_batches"):  # pre-built Dataset
-        def project(t: pa.Table) -> pa.Table:
-            keep = [c for c in ("url", "warc_ts", "source")
-                    if c in t.column_names]
-            return t.select(keep)
-
-        # drop html before the TTL filter / exchange — this pass only
-        # needs (url, warc_ts, source)
-        pruned = delta_pages_path.map_batches(
-            project, batch_format="pyarrow", zero_copy_batch=True)
-        pages = read_pages(pruned, ttl_cutoff_us=cfg.ttl_cutoff_us)
-    else:
-        import pyarrow.dataset as pads
-
-        first = (delta_pages_path if isinstance(delta_pages_path, str)
-                 else delta_pages_path[0])
-        names = pads.dataset(first).schema.names
-        cols = ["url", "warc_ts"] + (["source"] if "source" in names else [])
-        pages = read_pages(delta_pages_path, columns=cols,
-                           ttl_cutoff_us=cfg.ttl_cutoff_us)
-
-    def prep(batch: pa.Table) -> pa.Table:
-        urls = batch["url"]
-        src = (batch["source"] if "source" in batch.column_names
-               else pa.array([cfg.source_tag] * batch.num_rows, pa.string()))
-        from ..stages.pair_join import str_hash64
-
-        part = (str_hash64(urls.to_numpy(zero_copy_only=False))
-                % np.uint64(cfg.num_parts)).astype(np.int32)
-        return pa.table({"url": urls, "source": src,
-                         "part": pa.array(part, pa.int32())})
-
-    def upgrades(group: pa.Table) -> pa.Table:
-        empty = pa.table({"url": pa.array([], pa.string()),
-                          "source": pa.array([], pa.string())})
-        part = group["part"][0].as_py()
-        path = os.path.join(hist_ckpt_dir, f"part={part}.parquet")
-        if not os.path.exists(path):
-            return empty
-        hist = pq.read_table(path, columns=["url", "source"])
-        if hist.num_rows == 0:
-            return empty
-        d = pd.DataFrame({"url": group["url"].to_pylist(),
+    empty = pa.table({"url": pa.array([], pa.string()),
+                      "source": pa.array([], pa.string())})
+    out = empty
+    if hist_tbl is not None and hist_tbl.num_rows and g.num_rows:
+        d = pd.DataFrame({"url": g["url"].to_pylist(),
                           "rank": [_SOURCE_RANK.get(s, 0)
-                                   for s in group["source"].to_pylist()],
-                          "source": group["source"].to_pylist()})
+                                   for s in g["source"].to_pylist()],
+                          "source": g["source"].to_pylist()})
         # a url rescanned several times in one delta: highest rank wins
         # (deterministic — rank uniquely identifies the source string)
         d = d.sort_values(["url", "rank"]).drop_duplicates("url", keep="last")
-        h = pd.DataFrame({"url": hist["url"].to_pylist(),
+        h = pd.DataFrame({"url": hist_tbl["url"].to_pylist(),
                           "hrank": [_SOURCE_RANK.get(s, 0)
-                                    for s in hist["source"].to_pylist()]})
+                                    for s in hist_tbl["source"].to_pylist()]})
         m = d.merge(h, on="url")
         m = m[m["rank"] > m["hrank"]]
-        return pa.table({"url": pa.array(m["url"].to_numpy(), pa.string()),
-                         "source": pa.array(m["source"].to_numpy(), pa.string())})
+        if len(m):
+            out = pa.table({
+                "url": pa.array(m["url"].to_numpy(), pa.string()),
+                "source": pa.array(m["source"].to_numpy(), pa.string())})
+    path = os.path.join(up_dir, f"part={part}.parquet")
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
 
+
+def _read_upgrades(up_dir: str, num_parts: int) -> dict:
+    """url -> upgraded source, folded from the per-part side files (absent
+    file = the part had no delta rows = no upgrades)."""
     out: dict = {}
-    ds = pages.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    for b in ds.groupby("part").map_groups(
-            upgrades, batch_format="pyarrow").iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
-        out.update(zip(b["url"].to_pylist(), b["source"].to_pylist()))
+    for p in range(num_parts):
+        path = os.path.join(up_dir, f"part={p}.parquet")
+        if os.path.exists(path):
+            t = pq.read_table(path)
+            out.update(zip(t["url"].to_pylist(), t["source"].to_pylist()))
     return out
+
+
+class _ApplyUpgrades:
+    """Map the D6 upgrades onto the history relation's source column.
+
+    Reads the side files once per actor — lazily, at first execution: the
+    delta fingerprint exchange (which writes them) is materialized by
+    _checkpointed_stage before the history union is constructed, so the
+    files always exist by the time these actors start."""
+
+    def __init__(self, up_dir: str, num_parts: int) -> None:
+        self._map = _read_upgrades(up_dir, num_parts)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self._map:
+            return batch
+        import pandas as pd
+
+        urls = pd.Series(batch["url"].to_pylist(), dtype=object)
+        new_src = urls.map(self._map)
+        has = new_src.notna()
+        if not has.any():
+            return batch
+        src = pd.Series(batch["source"].to_pylist(), dtype=object)
+        src[has.to_numpy()] = new_src[has.to_numpy()]
+        return batch.set_column(
+            batch.schema.get_field_index("source"), "source",
+            pa.array(src.to_numpy(), pa.string()))
 
 
 def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # noqa: ANN001
                      cfg: RepostConfig | None = None,
                      write_outputs: bool = True,
-                     tombstones=None) -> dict:
+                     tombstones=None,
+                     emit_clusters: bool = True) -> dict:
     """Incremental/delta run (A2, SURVEY.md §2.G): fingerprint ONLY the new
     pages, then block + score them against (delta ∪ persisted history
     fingerprints) — history is read back from its per-part checkpoint, never
@@ -946,6 +979,10 @@ def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # no
     delta-touching pairs; history-internal edges are re-used from the
     history run's edge relation (unioned before dedup) — delta compute is
     proportional to the delta plus the blocks it touches, not to history.
+
+    ``emit_clusters=False`` is the steady-state re-poll shape (reference
+    app.py:210): edges + upgrades + metrics only, no corpus-sized cluster
+    emit or report — see :func:`run_repost_pipeline`.
     """
     import ray.data as rd
 
@@ -1006,31 +1043,50 @@ def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # no
             f"columns {sorted(want_cols - have_cols)} — written by an older "
             f"engine version; re-run the history pipeline to refresh it")
     hist_files = [f for f in hist_files if pq.read_metadata(f).num_rows > 0]
-    history = (rd.read_parquet(hist_files) if hist_files
-               else rd.from_arrow(FINGERPRINT_SCHEMA.empty_table()))
+    # text_norm (the dominant column by bytes) never enters the delta
+    # union: blocking carries hashes only, text verification attaches
+    # texts from the co-partitioned checkpoint FILES, and cluster meta
+    # needs url/warc_ts — prune at the SCAN (before the upgrade map, which
+    # would block projection pushdown). The returned fingerprint relation
+    # therefore omits text_norm on delta runs; texts live in the per-part
+    # checkpoints.
+    slim = pa.schema([f for f in FINGERPRINT_SCHEMA if f.name != "text_norm"])
+    history = (rd.read_parquet(hist_files, columns=[f.name for f in slim])
+               if hist_files else rd.from_arrow(slim.empty_table()))
 
-    def drop_logged(group: pa.Table) -> pa.Table:
-        """Per-part anti-join against the history checkpoint file."""
-        part = group["part"][0].as_py()
-        path = os.path.join(hist_ckpt_dir, f"part={part}.parquet")
-        if not os.path.exists(path):
-            return group
-        logged = pq.read_table(path, columns=["url"])["url"].combine_chunks()
-        if len(logged) == 0:
-            return group
-        return group.filter(pc.invert(pc.is_in(group["url"], value_set=logged)))
+    # D6 upgrade side-channel (see _part_upgrades): written per part INSIDE
+    # the delta fingerprint exchange, guarded by the config hash so a
+    # config change can never leave stale upgrade files behind a resumed
+    # checkpoint (empty parts skip the transform and would not overwrite).
+    up_dir = os.path.join(out_dir, "checkpoints", "delta_upgrades")
+    _reset_dir_on_hash_change(up_dir, cfg.hash())
 
     # run the normal pipeline over the delta pages only; the union +
     # text-join plumbing receives history via the two extra_* hooks
     class _DeltaFilterCheckpoint(StageCheckpoint):
-        """Delta fingerprint checkpoint whose per-part transform drops urls
-        already logged in history (exactly-once per url across runs). May
+        """Delta fingerprint checkpoint whose per-part transform (a) drops
+        urls already logged in history (exactly-once per url across runs,
+        is_logged semantics) and (b) emits the part's D6 source-upgrade
+        record — ONE read of the history part file serves both, fused into
+        the stage's own exchange (round-4 VERDICT item 5: the former
+        standalone upgrade pre-job re-read the whole delta input). May
         empty a part entirely — the writer reads the part id from the
         pre-transform group, so an all-logged part commits as an explicit
         empty part file."""
 
         def transform_group(self, g: pa.Table) -> pa.Table:
-            return drop_logged(_d1_dedup(g))
+            part = int(g["part"][0].as_py())
+            path = os.path.join(hist_ckpt_dir, f"part={part}.parquet")
+            hist_tbl = (pq.read_table(path, columns=["url", "source"])
+                        if os.path.exists(path) else None)
+            # upgrades come from ALL delta occurrences (pre-D1: a url
+            # rescanned twice in one delta upgrades by its highest rank)
+            _part_upgrades(up_dir, part, g, hist_tbl)
+            g = _d1_dedup(g)
+            if hist_tbl is None or hist_tbl.num_rows == 0:
+                return g
+            return g.filter(pc.invert(pc.is_in(
+                g["url"], value_set=hist_tbl["url"].combine_chunks())))
 
     hist_edges_dir = os.path.join(history_out_dir, "edges")
     hist_edges = (rd.read_parquet(hist_edges_dir)
@@ -1039,51 +1095,41 @@ def run_repost_delta(history_out_dir: str, delta_pages_path, out_dir: str,  # no
     # D6 in the delta path: a logged url rescanned under a higher-precedence
     # source gets its provenance UPGRADED (reference update_database on
     # Location, database.py:344-350); everything else stays first-writer
-    # (the repeat post itself is dropped by drop_logged below). Computed
-    # BEFORE the pipeline and applied to the history relation entering the
-    # union, so every view this run produces — returned fingerprints,
-    # checkpoint-attached texts, report — sees the upgraded provenance.
-    # Durability contract: the history checkpoint itself is IMMUTABLE
-    # (test-pinned — delta runs never rewrite history parts); the upgrade
-    # is durable as (a) this run's source_upgrades.parquet update-sink
-    # record and (b) a pure deterministic function of (history ckpt, delta
-    # pages), so any rerun re-derives it. A later, DIFFERENT delta against
-    # the same history re-derives only its own upgrades — accumulating
-    # them across deltas would require a mutable history store, which this
-    # engine deliberately does not have.
-    upgrades = _collect_source_upgrades(delta_pages_path, hist_ckpt_dir, cfg)
-    if upgrades:
-        import ray
-
-        up_ref = ray.put(dict(upgrades))
-
-        def apply_upgrade(batch: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            m = ray.get(up_ref)
-            urls = pd.Series(batch["url"].to_pylist(), dtype=object)
-            new_src = urls.map(m)
-            has = new_src.notna()
-            if not has.any():
-                return batch
-            src = pd.Series(batch["source"].to_pylist(), dtype=object)
-            src[has.to_numpy()] = new_src[has.to_numpy()]
-            return batch.set_column(
-                batch.schema.get_field_index("source"), "source",
-                pa.array(src.to_numpy(), pa.string()))
-
-        history = history.map_batches(apply_upgrade, batch_format="pyarrow",
-                                      zero_copy_batch=True)
+    # (the repeat post itself is dropped by the logged-url anti-join above).
+    # The upgrade records are written per part DURING the delta fingerprint
+    # exchange (one history-part read serves both the anti-join and the
+    # upgrade diff) and applied to the history relation entering the union
+    # by _ApplyUpgrades, whose actors read the side files lazily — safe
+    # because _checkpointed_stage materializes the fingerprint exchange
+    # before the union is even constructed. Every view this run produces —
+    # returned fingerprints, checkpoint-attached texts, report — sees the
+    # upgraded provenance. Durability contract: the history checkpoint
+    # itself is IMMUTABLE (test-pinned — delta runs never rewrite history
+    # parts); the upgrade is durable as (a) this run's
+    # source_upgrades.parquet update-sink record and (b) a pure
+    # deterministic function of (history ckpt, delta pages), so any rerun
+    # re-derives it. A later, DIFFERENT delta against the same history
+    # re-derives only its own upgrades — accumulating them across deltas
+    # would require a mutable history store, which this engine deliberately
+    # does not have.
+    def history_with_upgrades():
+        """Evaluated by the pipeline AFTER the delta fingerprint stage has
+        materialized (and therefore written the upgrade side files)."""
+        return history.map_batches(
+            _ApplyUpgrades, fn_constructor_args=(up_dir, cfg.num_parts),
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
 
     res = run_repost_pipeline(
         delta_pages_path, out_dir, cfg, write_outputs=write_outputs,
-        extra_fingerprints=history,
+        extra_fingerprints=history_with_upgrades,
         extra_fingerprint_ckpts=[hist_ckpt_dir],
         extra_edges=hist_edges,
         tombstones=tombstones,
         _fp_ckpt_cls=_DeltaFilterCheckpoint,
+        emit_clusters=emit_clusters,
     )
 
+    upgrades = _read_upgrades(up_dir, cfg.num_parts)
     res["metrics"].add("source_upgrades", "urls", len(upgrades))
     if write_outputs:
         # refresh the metrics sink with the upgrade counter + A6 record

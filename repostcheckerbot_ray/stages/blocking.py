@@ -213,7 +213,8 @@ def _salted(kind: str, value: int) -> int:
                                     dtype=np.uint64))[0])
 
 
-def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
+def explode_block_rows(fingerprints_ds, num_parts: int = 16,
+                       keep_keys_ref=None):  # noqa: ANN001
     """fingerprints -> unified light block rows (single pass, no shuffle).
 
     Carries ``part = band_key % num_parts``: the edge stage groups by PART
@@ -224,6 +225,13 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
     Vectorized: the dominant text-band explosion (NUM_BANDS rows per doc) is
     a numpy repeat/take; the per-kind salting is one splitmix64 pass per
     sub-table.
+
+    ``keep_keys_ref`` (delta runs): ray.put ref to a SORTED uint64 array of
+    salted band keys the delta touches. History rows (is_new=False) whose
+    key misses the set are dropped BEFORE their Arrow rows are built —
+    fusing the delta band prune into the explode, so a 100-TB history never
+    materializes its untouched band rows even transiently (was: explode
+    everything, filter in a second map). New rows always pass.
     """
 
     def salted_vec(kind: str, vals: np.ndarray) -> np.ndarray:
@@ -253,6 +261,27 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
         isnew_all = (batch["is_new"].to_numpy(zero_copy_only=False)
                      if "is_new" in batch.column_names
                      else np.ones(batch.num_rows, dtype=bool))
+        keep_keys = None
+        if keep_keys_ref is not None:
+            if isinstance(keep_keys_ref, np.ndarray):  # tests / local
+                keep_keys = keep_keys_ref
+            else:
+                import ray
+
+                keep_keys = ray.get(keep_keys_ref)
+
+        def row_mask(band: np.ndarray, new: np.ndarray):
+            """Rows to keep: new always; history only on a key hit.
+            searchsorted membership — O(n log m), no re-sort of the
+            broadcast set (np.isin sorts both sides per call)."""
+            if keep_keys is None or bool(new.all()):
+                return None  # keep everything
+            if len(keep_keys) == 0:
+                return new
+            pos = np.searchsorted(keep_keys, band)
+            pos[pos == len(keep_keys)] = 0
+            return new | (keep_keys[pos] == band)
+
         out = []
 
         # exact rows — every doc; key folds the hash's first 16 hex chars
@@ -267,8 +296,17 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
             chl = batch["content_hash"].to_pylist()
             ch64_all = np.array([int(c[:16], 16) for c in chl], dtype=np.uint64)
         e_band = salted_vec("e", ch64_all)
-        out.append(_subtable(batch["url"], "e", e_band, ch=batch["content_hash"],
-                             ch64=ch64_all, new=isnew_all))
+        m = row_mask(e_band, isnew_all)
+        if m is None:
+            out.append(_subtable(batch["url"], "e", e_band,
+                                 ch=batch["content_hash"],
+                                 ch64=ch64_all, new=isnew_all))
+        elif m.any():
+            sel = pa.array(m)
+            out.append(_subtable(
+                batch["url"].filter(sel), "e", e_band[m],
+                ch=batch["content_hash"].filter(sel),
+                ch64=ch64_all[m], new=isnew_all[m]))
 
         # text rows — NUM_BANDS per doc, fully vectorized. Any doc carrying
         # bands participates: "text" docs plus payload/chunked docs with
@@ -314,15 +352,20 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
             bands = t["band_keys"].combine_chunks()
             counts = bands.value_lengths().to_numpy(zero_copy_only=False)
             flat = bands.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-            idx = pa.array(np.repeat(np.arange(t.num_rows), counts))
             rep_idx = np.repeat(np.arange(t.num_rows), counts)
-            out.append(_subtable(
-                t["url"].take(idx), "t", salted_vec("t", flat),
-                ch64=ch64_t[rep_idx],
-                sim=t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)[rep_idx],
-                tl=t["text_len"].to_numpy(zero_copy_only=False).astype(np.uint32)[rep_idx],
-                new=isnew_t[rep_idx],
-            ))
+            t_band = salted_vec("t", flat)
+            m = row_mask(t_band, isnew_t[rep_idx])
+            if m is not None:
+                rep_idx, t_band = rep_idx[m], t_band[m]
+            if len(rep_idx):
+                idx = pa.array(rep_idx)
+                out.append(_subtable(
+                    t["url"].take(idx), "t", t_band,
+                    ch64=ch64_t[rep_idx],
+                    sim=t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)[rep_idx],
+                    tl=t["text_len"].to_numpy(zero_copy_only=False).astype(np.uint32)[rep_idx],
+                    new=isnew_t[rep_idx],
+                ))
 
         # payload rows — PAYLOAD_BANDS per doc, vectorized per band index
         p_mask_np = mods == "payload"
@@ -335,8 +378,14 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
             for b_idx in range(PAYLOAD_BANDS):
                 band_vals = ((ph >> np.uint64(b_idx * width)) & mask_bits) | (
                     np.uint64(b_idx) << np.uint64(56))
-                out.append(_subtable(p["url"], "p", salted_vec("p", band_vals),
-                                     ph=ph, new=p_new))
+                p_band = salted_vec("p", band_vals)
+                m = row_mask(p_band, p_new)
+                if m is None:
+                    out.append(_subtable(p["url"], "p", p_band,
+                                         ph=ph, new=p_new))
+                elif m.any():
+                    out.append(_subtable(p["url"].filter(pa.array(m)), "p",
+                                         p_band[m], ph=ph[m], new=p_new[m]))
 
         # chunked rows — one per distinct chunk hash (few docs; python loop)
         c_mask_np = mods == "chunked"
@@ -351,13 +400,22 @@ def explode_block_rows(fingerprints_ds, num_parts: int = 16):  # noqa: ANN001
                     keys.append(cv)
                     lists.append(chs)
                     news.append(bool(c_new[i]))
-            out.append(_subtable(
-                pa.array(urls, pa.string()), "c",
-                salted_vec("c", np.array(keys, dtype=np.uint64)),
-                ck=pa.array(lists, pa.list_(pa.uint64())),
-                new=np.array(news, dtype=bool),
-            ))
+            c_band = salted_vec("c", np.array(keys, dtype=np.uint64))
+            news_np = np.array(news, dtype=bool)
+            m = row_mask(c_band, news_np)
+            if m is not None and not bool(m.all()):
+                urls = [u for u, k in zip(urls, m) if k]
+                lists = [v for v, k in zip(lists, m) if k]
+                c_band, news_np = c_band[m], news_np[m]
+            if len(c_band):
+                out.append(_subtable(
+                    pa.array(urls, pa.string()), "c", c_band,
+                    ck=pa.array(lists, pa.list_(pa.uint64())),
+                    new=news_np,
+                ))
 
+        if not out:  # every row pruned (all-history batch, no touched band)
+            return BLOCK_ROW_SCHEMA.empty_table()
         return pa.concat_tables(out)
 
     return fingerprints_ds.map_batches(explode, batch_format="pyarrow",

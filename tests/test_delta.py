@@ -203,3 +203,34 @@ def test_delta_source_upgrade(ray_session, tmp_path):
         str(tmp_path / "out_delta" / "source_upgrades.parquet")).to_pandas()
     assert list(up["url"]) == ["http://a"]
     assert list(up["source"]) == ["top"]
+
+
+def test_delta_edges_only_emit(ray_session, split_fixture):
+    """emit_clusters=False (the steady-state re-poll shape, reference
+    app.py:210): the edge sink must be IDENTICAL to the full-emit delta's,
+    while no cluster/report output is produced and clusters comes back
+    None. Upgrades/metrics sinks still write."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    root = split_fixture["root"]
+    out = f"{root}/out_delta_edges_only"
+    res = run_repost_delta(f"{root}/out_hist", split_fixture["delta"],
+                           out, RepostConfig(), emit_clusters=False)
+    assert res["clusters"] is None
+    assert not os.path.isdir(f"{out}/clusters")
+    assert not os.path.exists(f"{out}/report.md")
+    assert os.path.exists(f"{out}/metrics.parquet")
+
+    def edge_frame(d):
+        files = sorted(_glob.glob(f"{d}/edges/*.parquet"))
+        t = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        return (t[["url_a", "url_b", "score", "kind"]]
+                .sort_values(["url_a", "url_b", "kind"])
+                .reset_index(drop=True))
+
+    # out_delta was written by test_delta_matches_full_recompute (module
+    # fixture ordering) with the default full emit
+    pd.testing.assert_frame_equal(edge_frame(out),
+                                  edge_frame(f"{root}/out_delta"))
