@@ -148,6 +148,50 @@ def _payload_cte() -> str | None:
             + ",".join(rows) + ") v)")
 
 
+def _chunked_cte() -> str | None:
+    """VALUES-CTEs for the chunked (video/gif, F3) oracle over the synthetic
+    corpus: ``ck(url, idx, h)`` — one row per chunk-hash occurrence (the
+    engine's min-mean distance counts duplicate frames) — and
+    ``cd(url, chash)`` — one row per chunked doc for the exact-star
+    resolution. Same dispatch/sketch sharing and corpus-coherence contract
+    as _payload_cte: the chunk hashes enter as shared INPUT
+    (functions.fingerprint.chunk_hashes, unit-pinned); chunk-hash blocking
+    recall, the per-pair min-mean Hamming, the F3 predicate and D4 keep-max
+    are what DuckDB independently re-derives (reference F3,
+    /root/reference/database.py:215-227, 451)."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as _pq
+
+    from repostcheckerbot_ray.functions.fingerprint import chunk_hashes
+    from repostcheckerbot_ray.functions.textnorm import is_valid_text
+    from repostcheckerbot_ray.stages.fingerprint_stage import _is_gif_url
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    d = _corpus_dir(tag)
+    ck_rows, cd_rows = [], []
+    for f in sorted(glob.glob(os.path.join(d, "pages", "*.parquet"))):
+        t = _pq.read_table(f, columns=["url", "text", "html"])
+        for url, text, html in zip(t["url"].to_pylist(), t["text"].to_pylist(),
+                                   t["html"].to_pylist()):
+            # the fingerprint dispatch: valid text wins, then gif → chunked
+            if is_valid_text(text) or not _is_gif_url(url):
+                continue
+            data = bytes(html) if html is not None else b""
+            u = url.replace("'", "''")
+            cd_rows.append(f"('{u}','{hashlib.sha256(data).hexdigest()}')")
+            for i, h in enumerate(chunk_hashes(data)):
+                ck_rows.append(f"('{u}',{i},{int(h)}::UBIGINT)")
+    if not ck_rows:
+        return None
+    return ("ck(url, idx, h) AS (SELECT * FROM (VALUES "
+            + ",".join(ck_rows) + ") v),"
+            "cd(url, chash) AS (SELECT * FROM (VALUES "
+            + ",".join(cd_rows) + ") w)")
+
+
 def _corpus_dir(tag: str) -> str:
     """Deterministic synthetic pages corpus (FIXTURES.md) cached under /tmp —
     the input-hint-shaped table for flagship/multimodal queries."""
@@ -267,6 +311,35 @@ def _repost_payload_edges(sf_dir: str) -> Any:
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _repost_chunked_edges(sf_dir: str) -> Any:
+    """The flagship's CHUNKED edge slice (F3, the reference's video path)
+    over the synthetic corpus: the REAL pipeline (per-chunk hash lists →
+    chunk-hash blocking → in-part min-mean Hamming < 5 verification → D4
+    keep-max) filtered to kind='chunked'. The DuckDB oracle brute-forces
+    ALL O(n²) chunked pairs over the shared chunk-hash CTE — equality
+    proves shared-chunk blocking loses nothing at threshold 5 (a min-mean
+    < 5 over 64-bit hashes forces ≳84% of the smaller-url doc's chunks to
+    sit within ~5 bits of some counterpart, and two INDEPENDENT chunk
+    hashes land that close with p ≈ 6e-13 — so every true pair shares an
+    identical chunk) and that D4 resolves identical-bytes pairs to the
+    exact channel. text_in_image=False for the same reason as the payload
+    slice: the gif docs' byte-garbage extracted text must not reroute the
+    pairs through the text channel."""
+    import pyarrow.compute as pc
+
+    from repostcheckerbot_ray.pipelines.repost import RepostConfig, run_repost_pipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    d = _corpus_dir(tag)
+    res = run_repost_pipeline(
+        f"{d}/pages", f"/tmp/rcb_chunked_edges_{tag}",
+        RepostConfig(text_in_image=False), write_outputs=False)
+    return res["edges"].map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "chunked"))
+                   .select(["url_a", "url_b", "score"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         # relational ops (SQL-oracled)
@@ -322,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repost_edges": lambda sf: _flagship(sf)["edges"],
         "repost_exact_edges": _repost_exact_edges,       # D2/F4, SQL-oracled
         "repost_payload_edges": _repost_payload_edges,   # F2, SQL-oracled
+        "repost_chunked_edges": _repost_chunked_edges,   # F3, SQL-oracled
         "repost_delta_clusters": _repost_delta,                  # A2/§2.G
         "media_features": _media_features,
         "media_features_meta": _media_features_meta,     # SQL-oracled slice
@@ -493,6 +567,33 @@ def oracle_sql() -> dict[str, str]:
             "         GROUP BY chash HAVING COUNT(*) > 1),"
             "star AS (SELECT h.hub AS url_a, m.url AS url_b"
             "         FROM pl m JOIN hubs h"
+            "         ON h.chash = m.chash AND m.url <> h.hub) "
+            "SELECT p.url_a, p.url_b, (5.0 - p.d) / 5.0 * 100.0 AS score "
+            "FROM pairs p LEFT JOIN star s"
+            "  ON s.url_a = p.url_a AND s.url_b = p.url_b "
+            "WHERE s.url_a IS NULL"
+        )
+    _ck = _chunked_cte()
+    if _ck is not None:
+        # brute-force O(n²) min-mean Hamming over the shared chunk lists:
+        # per ORIENTED pair (url_a < url_b, matching the scorer's sorted
+        # iteration — the F3 distance is asymmetric, mean over the SMALLER
+        # url's chunks), per a-chunk min over b-chunks, then AVG; exact-star
+        # pairs removed exactly as in the payload oracle
+        out["repost_chunked_edges"] = (
+            "WITH " + _ck + ","
+            "mins AS ("
+            "  SELECT a.url AS url_a, b.url AS url_b, a.idx AS aidx,"
+            "    MIN(bit_count(xor(a.h, b.h))) AS md"
+            "  FROM ck a JOIN ck b ON a.url < b.url"
+            "  GROUP BY a.url, b.url, a.idx),"
+            "dists AS (SELECT url_a, url_b, AVG(md) AS d FROM mins"
+            "          GROUP BY url_a, url_b),"
+            "pairs AS (SELECT url_a, url_b, d FROM dists WHERE d < 5),"
+            "hubs AS (SELECT chash, MIN(url) AS hub FROM cd"
+            "         GROUP BY chash HAVING COUNT(*) > 1),"
+            "star AS (SELECT h.hub AS url_a, m.url AS url_b"
+            "         FROM cd m JOIN hubs h"
             "         ON h.chash = m.chash AND m.url <> h.hub) "
             "SELECT p.url_a, p.url_b, (5.0 - p.d) / 5.0 * 100.0 AS score "
             "FROM pairs p LEFT JOIN star s"

@@ -32,6 +32,10 @@ def main(argv=None) -> int:  # noqa: ANN001
                    help="incremental mode (A2): block+score --pages against "
                         "the fingerprint history checkpointed under this "
                         "prior --out dir, without re-fingerprinting it")
+    p.add_argument("--edges-only", action="store_true",
+                   help="with --delta-against: the steady-state re-poll "
+                        "shape — edges/upgrades/metrics sinks only, no "
+                        "corpus-sized cluster emit or report per poll")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="local session size (default: all cores)")
     p.add_argument("--stage", default=None,
@@ -103,13 +107,15 @@ def main(argv=None) -> int:  # noqa: ANN001
             tombstones = rd.read_parquet(args.tombstones, columns=["url"])
         if args.delta_against:
             res = run_repost_delta(args.delta_against, args.pages, args.out,
-                                   cfg, tombstones=tombstones)
+                                   cfg, tombstones=tombstones,
+                                   emit_clusters=not args.edges_only)
         else:
             res = run_repost_pipeline(args.pages, args.out, cfg,
                                       tombstones=tombstones)
         summary = {
             "edges": res["edges"].count(),
-            "clusters": res["clusters"].count(),
+            "clusters": (res["clusters"].count()
+                         if res["clusters"] is not None else None),
             "out": args.out,
         }
         print(json.dumps(summary))
