@@ -10,6 +10,7 @@ equivalent of the reference's resolve-new-against-accumulated-history loop
 from __future__ import annotations
 
 import glob
+import json
 import os
 import shutil
 
@@ -234,3 +235,81 @@ def test_delta_edges_only_emit(ray_session, split_fixture):
     # fixture ordering) with the default full emit
     pd.testing.assert_frame_equal(edge_frame(out),
                                   edge_frame(f"{root}/out_delta"))
+
+
+def test_delta_resume_preserves_upgrades(ray_session, tmp_path):
+    """The D6 upgrade records are written as per-part side files INSIDE the
+    delta fingerprint exchange. Resume semantics: (a) a rerun into the same
+    out_dir (all parts checkpointed — the transform never reruns) must
+    still apply/report the same upgrades from the surviving side files;
+    (b) a kill between a part's write and the next (simulated by deleting
+    one part's manifest AND its upgrade side file) must recompute exactly
+    that part and restore its upgrade record; (c) a CONFIG change must wipe
+    the side dir (hash guard) so stale upgrade files can never leak into a
+    differently-configured run."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from repostcheckerbot_ray.pipelines.repost import (
+        _part_of_key,
+        _read_upgrades,
+    )
+
+    def pages(rows):
+        return pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "html": pa.array([b"" for _ in rows], pa.binary()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+        })
+
+    hist = tmp_path / "hist"; delta = tmp_path / "delta"
+    hist.mkdir(); delta.mkdir()
+    texts = {u: f"doc {u} " + " ".join(f"w{u}{i}" for i in range(30))
+             for u in "ab"}
+    pq.write_table(pages([("http://a", 1_000_000, texts["a"], "new"),
+                          ("http://b", 2_000_000, texts["b"], "new")]),
+                   hist / "p0.parquet")
+    pq.write_table(pages([("http://a", 9_000_000, texts["a"], "top"),
+                          ("http://b", 9_000_000, texts["b"], "hot")]),
+                   delta / "p0.parquet")
+
+    cfg = RepostConfig(num_parts=4)
+    run_repost_pipeline(str(hist), str(tmp_path / "out_hist"), cfg)
+    out = str(tmp_path / "out_delta")
+    want = {"http://a": "top", "http://b": "hot"}
+
+    res1 = run_repost_delta(str(tmp_path / "out_hist"), str(delta), out, cfg)
+    up_dir = os.path.join(out, "checkpoints", "delta_upgrades")
+    assert _read_upgrades(up_dir, cfg.num_parts) == want
+
+    # (a) full resume: nothing recomputes, upgrades still applied/reported
+    res2 = run_repost_delta(str(tmp_path / "out_hist"), str(delta), out, cfg)
+    fp = res2["fingerprints"].to_pandas().set_index("url")
+    assert fp.loc["http://a", "source"] == "top"
+    assert fp.loc["http://b", "source"] == "hot"
+    up = pq.read_table(os.path.join(out, "source_upgrades.parquet")).to_pandas()
+    assert dict(zip(up["url"], up["source"])) == want
+
+    # (b) kill-mid-run: drop ONE url's fingerprint part manifest + upgrade
+    # side file; the rerun must restore that part's upgrade record
+    part_a = _part_of_key("http://a", cfg.num_parts)
+    os.remove(os.path.join(out, "checkpoints", "fingerprints",
+                           f"part={part_a}.manifest.json"))
+    os.remove(os.path.join(up_dir, f"part={part_a}.parquet"))
+    run_repost_delta(str(tmp_path / "out_hist"), str(delta), out, cfg)
+    assert _read_upgrades(up_dir, cfg.num_parts) == want
+
+    # (c) config change wipes the side dir (no stale upgrade leakage)
+    cfg2 = RepostConfig(num_parts=4, threshold=6.0)
+    with open(os.path.join(up_dir, "_hash.json")) as f:
+        guard_before = json.load(f)["config_hash"]
+    assert _glob.glob(os.path.join(up_dir, "*.parquet"))
+    run_repost_delta(str(tmp_path / "out_hist"), str(delta), out, cfg2)
+    with open(os.path.join(up_dir, "_hash.json")) as f:
+        assert json.load(f)["config_hash"] != guard_before  # guard rewritten
+    assert _read_upgrades(up_dir, cfg2.num_parts) == want  # re-derived
