@@ -97,3 +97,24 @@ def test_token_counts_matches_oracle(ray_session, tmp_path_factory, rows):
 @given(st.lists(_DOC, min_size=1, max_size=40))
 def test_repetition_stats_matches_oracle(ray_session, tmp_path_factory, rows):
     _check(rows, tmp_path_factory.mktemp("rp"), "repetition_stats")
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(_DOC, min_size=1, max_size=40))
+def test_bpe_token_counts_matches_oracle(ray_session, tmp_path_factory, rows):
+    _check(rows, tmp_path_factory.mktemp("bp"), "bpe_token_counts")
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(_DOC, min_size=1, max_size=40))
+def test_char_counts_matches_oracle(ray_session, tmp_path_factory, rows):
+    _check(rows, tmp_path_factory.mktemp("cc"), "char_counts")
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(_DOC, min_size=1, max_size=40))
+def test_lang_counts_matches_oracle(ray_session, tmp_path_factory, rows):
+    _check(rows, tmp_path_factory.mktemp("lc"), "lang_counts")
